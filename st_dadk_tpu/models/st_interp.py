@@ -1,0 +1,290 @@
+"""Spatio-temporal interpolation model as pure functions over a param pytree.
+
+Architecture (parity with stnf/models/st_interp.py:599-882):
+    input  [X covariates (p) | phi(s) spatial basis | psi(t) temporal basis]
+    -> MLP: per hidden layer Linear -> LayerNorm -> ReLU -> Dropout
+    -> head: direct Linear(out_dim) OR delta-reparameterized multi-quantile
+       head: beta_k = cumsum_k(delta), yhat_k = beta_k0 + h . beta_k(1:)
+       (ref st_interp.py:849-877 — the reference's per-quantile Python loop is
+       one cumsum + one matmul here).
+
+Params are a plain dict pytree so experiments can be vmapped over a leading
+axis and optimizers can mask parameter groups by path. Static architecture
+facts live in the hashable ModelSpec (a jit static argument).
+
+Initialization distributions match torch defaults: Linear weights/biases
+~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)); LayerNorm gamma=1, beta=0; delta
+~ N(0, 0.01) (ref st_interp.py:679-686).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.ops.basis import (
+    CALIBRATION_FACTORS,
+    apply_basis,
+    spatial_basis_embed,
+    temporal_basis_embed,
+    temporal_grid_centers,
+    uniform_grid_centers,
+)
+
+Params = Dict[str, Any]
+Consts = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    p: int = 0
+    k_spatial_centers: Tuple[int, ...] = (25, 81, 121)
+    k_temporal_centers: Tuple[int, ...] = (10, 15, 45)
+    hidden_dims: Tuple[int, ...] = (256, 256, 128)
+    dropout: float = 0.1
+    layernorm: bool = True
+    spatial_basis_function: str = "wendland"
+    spatial_learnable: bool = False
+    output_dim: int = 1
+    use_delta_reparameterization: bool = False
+    use_pallas: bool = False
+
+    @property
+    def k_spatial(self) -> int:
+        return int(sum(self.k_spatial_centers))
+
+    @property
+    def k_temporal(self) -> int:
+        return int(sum(self.k_temporal_centers))
+
+    @property
+    def input_dim(self) -> int:
+        return self.p + self.k_spatial + self.k_temporal
+
+    @property
+    def last_hidden_dim(self) -> int:
+        return self.hidden_dims[-1] if self.hidden_dims else self.input_dim
+
+    @property
+    def delta_head(self) -> bool:
+        return self.use_delta_reparameterization and self.output_dim > 1
+
+
+def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -> ModelSpec:
+    return ModelSpec(
+        p=cfg.p_covariates,
+        k_spatial_centers=tuple(cfg.k_spatial_centers),
+        k_temporal_centers=tuple(cfg.k_temporal_centers),
+        hidden_dims=tuple(cfg.hidden_dims),
+        dropout=cfg.dropout,
+        layernorm=cfg.layernorm,
+        spatial_basis_function=cfg.spatial_basis_function,
+        spatial_learnable=cfg.spatial_learnable,
+        output_dim=cfg.output_dim,
+        use_delta_reparameterization=cfg.use_delta_reparameterization,
+        use_pallas=cfg.use_pallas if use_pallas is None else use_pallas,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _linear_init(key: jax.Array, fan_in: int, fan_out: int) -> Dict[str, jax.Array]:
+    bound = 1.0 / float(np.sqrt(fan_in))
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
+def init_model(
+    key: jax.Array,
+    spec: ModelSpec,
+    spatial_centers: Optional[np.ndarray] = None,
+    spatial_bandwidths: Optional[np.ndarray] = None,
+) -> Tuple[Params, Consts]:
+    """Initialize (params, consts).
+
+    spatial_centers/bandwidths default to the uniform multi-resolution grid;
+    data-adaptive initializers (GMM / balanced k-means / random-site,
+    st_dadk_tpu.ops.init_centers) pass their results in.
+    """
+    if spatial_centers is None or spatial_bandwidths is None:
+        spatial_centers, spatial_bandwidths = uniform_grid_centers(spec.k_spatial_centers)
+    spatial_centers = jnp.asarray(spatial_centers, jnp.float32)
+    spatial_bandwidths = jnp.asarray(spatial_bandwidths, jnp.float32)
+    t_centers, t_bw = temporal_grid_centers(spec.k_temporal_centers)
+
+    consts: Consts = {
+        "spatial_centers_init": spatial_centers,
+        "spatial_bandwidths_init": spatial_bandwidths,
+        "temporal_centers": jnp.asarray(t_centers),
+        "temporal_bandwidths": jnp.asarray(t_bw),
+    }
+
+    params: Params = {}
+    if spec.spatial_learnable:
+        params["basis"] = {
+            "centers": spatial_centers,
+            "log_bandwidths": jnp.log(spatial_bandwidths),
+        }
+
+    mlp: Dict[str, Any] = {}
+    prev = spec.input_dim
+    n_layers = len(spec.hidden_dims)
+    keys = jax.random.split(key, n_layers + 1)
+    for i, h in enumerate(spec.hidden_dims):
+        mlp[f"linear_{i}"] = _linear_init(keys[i], prev, h)
+        if spec.layernorm:
+            mlp[f"ln_{i}"] = {"scale": jnp.ones((h,), jnp.float32),
+                              "bias": jnp.zeros((h,), jnp.float32)}
+        prev = h
+
+    if spec.delta_head:
+        mlp["delta"] = 0.01 * jax.random.normal(
+            keys[-1], (spec.output_dim, prev + 1), jnp.float32)
+    else:
+        mlp["out"] = _linear_init(keys[-1], prev, spec.output_dim)
+    params["mlp"] = mlp
+    return params, consts
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def spatial_params(spec: ModelSpec, params: Params, consts: Consts
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Current (centers, bandwidths); bandwidth = exp(log_bandwidth) when
+    learnable (positivity via log-parameterization, ref st_interp.py:99-150)."""
+    if spec.spatial_learnable:
+        return params["basis"]["centers"], jnp.exp(params["basis"]["log_bandwidths"])
+    return consts["spatial_centers_init"], consts["spatial_bandwidths_init"]
+
+
+def _embed(spec: ModelSpec, params: Params, consts: Consts,
+           coords: jax.Array, t: jax.Array) -> jax.Array:
+    centers, bandwidths = spatial_params(spec, params, consts)
+    if spec.use_pallas:
+        from st_dadk_tpu.ops.pallas_basis import spatial_basis_embed_pallas
+        phi = spatial_basis_embed_pallas(coords, centers, bandwidths,
+                                         spec.spatial_basis_function)
+    else:
+        phi = spatial_basis_embed(coords, centers, bandwidths,
+                                  spec.spatial_basis_function)
+    psi = temporal_basis_embed(t, consts["temporal_centers"],
+                               consts["temporal_bandwidths"])
+    return phi, psi
+
+
+def trunk(spec: ModelSpec, params: Params, features: jax.Array,
+          train: bool = False, rng: Optional[jax.Array] = None) -> jax.Array:
+    """Hidden MLP: Linear -> LayerNorm -> ReLU -> Dropout per layer."""
+    mlp = params["mlp"]
+    h = features
+    for i in range(len(spec.hidden_dims)):
+        lin = mlp[f"linear_{i}"]
+        h = h @ lin["w"] + lin["b"]
+        if spec.layernorm:
+            ln = mlp[f"ln_{i}"]
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+            h = h * ln["scale"] + ln["bias"]
+        h = jax.nn.relu(h)
+        if train and spec.dropout > 0.0:
+            if rng is None:
+                raise ValueError("rng required for dropout in train mode")
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - spec.dropout, h.shape)
+            h = jnp.where(keep, h / (1.0 - spec.dropout), 0.0)
+    return h
+
+
+def head(spec: ModelSpec, params: Params, h: jax.Array) -> jax.Array:
+    mlp = params["mlp"]
+    if spec.delta_head:
+        beta = jnp.cumsum(mlp["delta"], axis=0)          # (Q, d+1)
+        return beta[None, :, 0] + h @ beta[:, 1:].T       # (B, Q)
+    out = mlp["out"]
+    return h @ out["w"] + out["b"]
+
+
+def forward(spec: ModelSpec, params: Params, consts: Consts,
+            X: Optional[jax.Array], coords: jax.Array, t: jax.Array,
+            train: bool = False, rng: Optional[jax.Array] = None) -> jax.Array:
+    """yhat(s, t): (B, output_dim)."""
+    phi, psi = _embed(spec, params, consts, coords, t)
+    if X is not None and spec.p > 0:
+        features = jnp.concatenate([X, phi, psi], axis=-1)
+    else:
+        features = jnp.concatenate([phi, psi], axis=-1)
+    h = trunk(spec, params, features, train=train, rng=rng)
+    return head(spec, params, h)
+
+
+# ---------------------------------------------------------------------------
+# Penalties (pure functions of params)
+# ---------------------------------------------------------------------------
+
+def domain_penalty(spec: ModelSpec, params: Params,
+                   bounds: Tuple[float, float] = (0.0, 1.0)) -> jax.Array:
+    """Squared violation of centers outside [0,1]^2 (ref st_interp.py:493-525)."""
+    if not spec.spatial_learnable:
+        return jnp.asarray(0.0, jnp.float32)
+    c = params["basis"]["centers"]
+    lo, hi = bounds
+    violations = jax.nn.relu(lo - c) + jax.nn.relu(c - hi)
+    return jnp.sum(violations ** 2)
+
+
+def movement_penalty(spec: ModelSpec, params: Params, consts: Consts) -> jax.Array:
+    """Sum of squared center displacements from init (ref st_interp.py:527-546)."""
+    if not spec.spatial_learnable:
+        return jnp.asarray(0.0, jnp.float32)
+    move = params["basis"]["centers"] - consts["spatial_centers_init"]
+    return jnp.sum(move ** 2)
+
+
+def sparsity_penalty(spec: ModelSpec, params: Params, penalty_type: str,
+                     lambda_l1: float, lambda_group: float) -> Dict[str, jax.Array]:
+    """First-layer sparsity penalties split by spatial/temporal input blocks.
+
+    Weight layout here is (in, out); the per-basis group is a row, i.e. the
+    weight vector of one basis function across hidden units — identical to the
+    reference's transposed (k, hidden) blocks (ref st_interp.py:724-825).
+    """
+    zero = jnp.asarray(0.0, jnp.float32)
+    if penalty_type == "none":
+        return {"spatial_penalty": zero, "temporal_penalty": zero,
+                "total_penalty": zero}
+    if penalty_type not in ("element", "group", "sparse_group"):
+        raise ValueError(f"Unknown penalty_type: {penalty_type}")
+
+    w0 = params["mlp"]["linear_0"]["w"]                  # (in, hidden)
+    idx = spec.p
+    spatial_w = w0[idx: idx + spec.k_spatial]            # (k_s, hidden)
+    idx += spec.k_spatial
+    temporal_w = w0[idx: idx + spec.k_temporal]          # (k_t, hidden)
+
+    def block(wb: jax.Array) -> jax.Array:
+        if penalty_type == "element":
+            return lambda_l1 * jnp.abs(wb).sum()
+        group = jnp.sqrt(jnp.sum(wb * wb, axis=1) + 0.0)
+        if penalty_type == "group":
+            return lambda_group * group.sum()
+        return lambda_group * group.sum() + lambda_l1 * jnp.abs(wb).sum()
+
+    sp, tp = block(spatial_w), block(temporal_w)
+    return {"spatial_penalty": sp, "temporal_penalty": tp,
+            "total_penalty": sp + tp}
+
+
+def count_parameters(params: Params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))

@@ -1,0 +1,33 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware. Env vars must be set before jax initializes
+its backends, hence before any jax import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref_data_root():
+    """Path to the KAUST datasets; tests that need real data skip if absent."""
+    from pathlib import Path
+    for root in (Path(__file__).resolve().parent.parent / "data",
+                 Path("/root/reference/data")):
+        if (root / "2a").exists():
+            return root.parent if root.name != "data" else root
+    pytest.skip("KAUST data not available")
