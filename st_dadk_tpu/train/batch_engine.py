@@ -1,0 +1,169 @@
+"""Vmapped, mesh-sharded experiment batches — the joblib replacement.
+
+The reference parallelizes experiment repeats with a process pool
+(train_st_interp.py:2945-2991) and grid-search configs with an outer pool
+(run_grid_search.py:331-387). Here the M repeats of one config become a
+leading batch axis: per-experiment params/consts/data are stacked, the whole
+epoch scan is `jax.vmap`-ed, and the stacked inputs are placed with a
+`NamedSharding` over the 'exp' axis of a `jax.sharding.Mesh` — XLA SPMD then
+splits the lanes across devices with zero steady-state collectives
+(experiments are embarrassingly parallel; see SURVEY.md section 2.4).
+
+Per-lane semantics are preserved exactly: each lane keeps its own seed-derived
+masks, its own real batch count (surplus steps are masked), its own EMA decay,
+early stopping, and best-checkpoint tracking.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.train.experiment import ExperimentSetup, finalize_experiment
+from st_dadk_tpu.train.loop import (
+    FitResult,
+    LoopSpec,
+    adaptive_batch_size,
+    assemble_result,
+    init_carry,
+    make_epoch_scan,
+    prepare_train_data,
+)
+from st_dadk_tpu.train.optimizer import build_lr_tables
+
+
+def _stack(trees: List[Any]):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _lane(tree: Any, i: int):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
+
+
+def experiment_mesh(axis: str = "exp") -> Mesh:
+    devices = np.array(jax.devices())
+    return Mesh(devices, (axis,))
+
+
+def run_experiment_batch(
+    cfg: ExperimentConfig,
+    exp_ids: List[int],
+    experiments_dir: Path,
+    skip_existing: bool = False,
+    verbose: bool = False,
+    epochs_chunk: int = 100,
+    mesh: Optional[Mesh] = None,
+) -> List[Dict[str, Any]]:
+    """Run all `exp_ids` of one config as a single vmapped program."""
+    experiments_dir = Path(experiments_dir)
+    t_start = time.time()
+
+    todo = []
+    for i in exp_ids:
+        out = experiments_dir / str(i)
+        if skip_existing and (out / "results.json").exists():
+            continue
+        todo.append(i)
+    if not todo:
+        return []
+
+    # -- per-lane setup on host (seed-exact masks, data-adaptive inits) ------
+    setups = [ExperimentSetup(cfg, i, verbose=False) for i in todo]
+    spec_model = setups[0].spec
+
+    batch_size = adaptive_batch_size(
+        min(s.train_ps.n_real for s in setups), cfg.batch_size)
+    B_shared = max(-(-s.train_ps.n_real // batch_size) for s in setups)
+    cap_tr = B_shared * batch_size
+    max_val = max(max(1, s.valid_ps.n_real) for s in setups)
+    val_chunk = min(max(batch_size * 16, 32768), max_val)
+    n_val_chunks = max(1, -(-max_val // val_chunk))
+    cap_va = n_val_chunks * val_chunk
+
+    datas, carries = [], []
+    for s in setups:
+        data, _, _ = prepare_train_data(s.train_ps, s.valid_ps, batch_size,
+                                        val_chunk=val_chunk, cap_tr=cap_tr,
+                                        cap_va=cap_va)
+        datas.append(data)
+        carries.append(init_carry(s.params,
+                                  jax.random.PRNGKey(s.experiment_seed)))
+
+    data_b = _stack(datas)
+    carry_b = _stack(carries)
+    consts_b = _stack([s.consts for s in setups])
+
+    spec = LoopSpec.from_config(cfg, spec_model, batch_size, B_shared,
+                                val_chunk, n_val_chunks)
+    lr_mlp, lr_basis, lr_recorded = build_lr_tables(cfg, B_shared)
+    lr_steps = np.stack([lr_mlp, lr_basis], -1).reshape(cfg.epochs, B_shared, 2)
+
+    # -- shard the experiment axis over the mesh ------------------------------
+    mesh = mesh or experiment_mesh(cfg.mesh_axis)
+    n_dev = mesh.devices.size
+    M = len(setups)
+    pad_lanes = (-M) % n_dev
+    if pad_lanes:
+        dup = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad_lanes, axis=0)]), t)
+        data_b, carry_b, consts_b = dup(data_b), dup(carry_b), dup(consts_b)
+
+    lane_sharding = NamedSharding(mesh, P(cfg.mesh_axis))
+    shard = lambda t: jax.device_put(t, lane_sharding)
+    data_b, carry_b, consts_b = shard(data_b), shard(carry_b), shard(consts_b)
+
+    fit_chunk = jax.jit(
+        jax.vmap(make_epoch_scan(spec), in_axes=(0, 0, 0, None, None, None)),
+        donate_argnums=(0,))
+
+    # -- chunked epoch loop (early exit when every lane has stopped) ----------
+    E = cfg.epochs
+    chunk = min(epochs_chunk, E)
+    hists = []
+    epochs_done = 0
+    while epochs_done < E:
+        c = min(chunk, E - epochs_done)
+        ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
+        lr_c = jnp.asarray(lr_steps[epochs_done:epochs_done + c])
+        active = jnp.ones((chunk,), bool)
+        if c != chunk:
+            pad = chunk - c
+            ids = jnp.concatenate([ids, jnp.full((pad,), E - 1, jnp.int32)])
+            lr_c = jnp.concatenate([lr_c, jnp.repeat(lr_c[-1:], pad, 0)])
+            active = active.at[c:].set(False)
+        carry_b, hist = fit_chunk(carry_b, consts_b, data_b, ids, lr_c, active)
+        hists.append(jax.tree_util.tree_map(
+            lambda x: np.asarray(x[:, :c]), hist))
+        epochs_done += c
+        if bool(np.asarray(carry_b["stopped"]).all()):
+            break
+
+    history_b = {k: np.concatenate([h[k] for h in hists], axis=1)
+                 for k in hists[0]}
+    carry_host = jax.tree_util.tree_map(np.asarray, carry_b)
+    wall = time.time() - t_start
+    if verbose:
+        print(f"[batch] {M} experiments x {epochs_done} epochs in "
+              f"{wall:.1f}s on {n_dev} device(s)")
+
+    # -- per-lane finalize ------------------------------------------------------
+    results = []
+    per_lane_time = wall / max(M, 1)
+    for li, s in enumerate(setups):
+        lane_carry = _lane(carry_host, li)
+        lane_hist = {k: v[li] for k, v in history_b.items()}
+        fit_res: FitResult = assemble_result(spec, lane_carry, lane_hist,
+                                             lr_recorded, epochs_done)
+        out_dir = experiments_dir / str(s.experiment_id)
+        r = finalize_experiment(cfg, s, fit_res, out_dir, per_lane_time,
+                                verbose=verbose)
+        r.pop("_split_predictions", None)
+        results.append(r)
+    return results

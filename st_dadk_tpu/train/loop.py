@@ -1,0 +1,565 @@
+"""The training loop as one jitted XLA program.
+
+The reference trains with a Python epoch/batch loop around torch (~16 tiny
+optimizer steps per epoch x 500 epochs, train_st_interp.py:463-881). Here the
+*entire fit* — minibatch sampling, forward/backward, AdamW, EMA, EMA-swap
+validation, best-checkpoint tracking, early stopping, the NaN-guard — is a
+`lax.scan` over epochs of a `lax.scan` over batches, compiled once. A fit that
+takes minutes on CPU runs in seconds on one TPU core, and the whole function
+vmaps over a leading experiment axis (see st_dadk_tpu.train.batch_engine).
+
+Replicated reference semantics:
+  - per-epoch reshuffle, ceil(n/batch) batches, ragged last batch (weighted)
+  - EMA update after every optimizer step; decay = 1 - 1/(10*batches_per_epoch)
+    (:537-540); validation runs with EMA weights swapped in (:737-790)
+  - best checkpoint stores the EMA params at the best val loss (:828-836)
+  - early stopping on `patience` epochs without val improvement (:852-857)
+  - per-group clipping: basis at 0.1x the MLP clip (:696-707)
+  - distance-based gradient damping on centers (st_interp.py:111-142)
+  - NaN loss poisons that step (the reference steps the optimizer before
+    checking, :693-733) and skips the rest of the epoch's batches
+  - composite loss: main + non-crossing (pred- or delta-level) + domain +
+    movement + sparsity (:619-691)
+
+Static shapes: training points live in padded buffers with 0/1 weights; lanes
+with fewer real batches mask the surplus steps, so vmapped experiments with
+slightly different observation counts stay bit-faithful per lane.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.dataio.arrays import PointSet, pad_pointset, round_up
+from st_dadk_tpu.models.st_interp import (
+    ModelSpec,
+    domain_penalty,
+    forward,
+    movement_penalty,
+    sparsity_penalty,
+)
+from st_dadk_tpu.ops.losses import (
+    mse_loss,
+    multi_quantile_loss,
+    non_crossing_penalty,
+    p_nc_delta_penalty,
+    quantile_loss,
+)
+from st_dadk_tpu.train.optimizer import (
+    adamw_init,
+    adamw_update,
+    build_lr_tables,
+    clip_by_global_norm,
+    ema_update,
+    gradient_damping,
+    lr_tree_for,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class LoopSpec:
+    """Static (hashable) training-loop configuration."""
+    model: ModelSpec
+    regression_type: str = "mean"
+    quantile_levels: Tuple[float, ...] = (0.1, 0.5, 0.9)
+    current_quantile: Optional[float] = None
+    non_crossing_weight: float = 0.0
+    non_crossing_power: int = 1
+    non_crossing_lambda: float = 0.0
+    domain_penalty_weight: float = 0.0
+    movement_penalty_weight: float = 0.0
+    sparsity_penalty_type: str = "none"
+    sparsity_lambda_l1: float = 0.001
+    sparsity_lambda_group: float = 0.01
+    sparsity_apply_to_spatial: bool = True
+    sparsity_apply_to_temporal: bool = True
+    gradient_damping: bool = False
+    damping_threshold: float = 0.3
+    damping_strength: float = 1.0
+    grad_clip: float = 0.0
+    weight_decay: float = 1e-5
+    batch_size: int = 256
+    n_batches: int = 1            # shared (max) batches per epoch
+    epochs: int = 100
+    patience: int = 15
+    val_chunk: int = 32768        # validation batch size
+    n_val_chunks: int = 1
+    record_centers: bool = False
+
+    @classmethod
+    def from_config(cls, cfg: ExperimentConfig, model: ModelSpec,
+                    batch_size: int, n_batches: int, val_chunk: int,
+                    n_val_chunks: int) -> "LoopSpec":
+        return cls(
+            model=model,
+            regression_type=cfg.regression_type,
+            quantile_levels=tuple(cfg.quantile_levels),
+            current_quantile=cfg.current_quantile,
+            non_crossing_weight=cfg.non_crossing_weight,
+            non_crossing_power=cfg.non_crossing_power,
+            non_crossing_lambda=cfg.non_crossing_lambda,
+            domain_penalty_weight=cfg.domain_penalty_weight,
+            movement_penalty_weight=cfg.movement_penalty_weight,
+            sparsity_penalty_type=cfg.sparsity_penalty_type,
+            sparsity_lambda_l1=cfg.sparsity_lambda_l1,
+            sparsity_lambda_group=cfg.sparsity_lambda_group,
+            sparsity_apply_to_spatial=cfg.sparsity_apply_to_spatial,
+            sparsity_apply_to_temporal=cfg.sparsity_apply_to_temporal,
+            gradient_damping=cfg.gradient_damping,
+            damping_threshold=cfg.damping_threshold,
+            damping_strength=cfg.damping_strength,
+            grad_clip=cfg.grad_clip,
+            weight_decay=cfg.weight_decay,
+            batch_size=batch_size,
+            n_batches=n_batches,
+            epochs=cfg.epochs,
+            patience=cfg.patience,
+            val_chunk=val_chunk,
+            n_val_chunks=n_val_chunks,
+            record_centers=cfg.spatial_learnable,
+        )
+
+
+class TrainData(NamedTuple):
+    """Per-lane dynamic training inputs (all jnp arrays; vmappable)."""
+    tr_coords: jax.Array   # (cap_tr, 2)
+    tr_t: jax.Array        # (cap_tr, 1)
+    tr_y: jax.Array        # (cap_tr, 1)
+    tr_w: jax.Array        # (cap_tr,)
+    va_coords: jax.Array   # (cap_va, 2)
+    va_t: jax.Array
+    va_y: jax.Array
+    va_w: jax.Array
+    n_batches: jax.Array   # () int32 — this lane's real batches/epoch
+    ema_decay: jax.Array   # () float32
+
+
+# ---------------------------------------------------------------------------
+# Loss assembly
+# ---------------------------------------------------------------------------
+
+def training_loss(spec: LoopSpec, params: Params, consts: Dict[str, Any],
+                  coords: jax.Array, t: jax.Array, y: jax.Array,
+                  w: jax.Array, train: bool, rng: Optional[jax.Array]
+                  ) -> jax.Array:
+    """Composite objective (ref train_st_interp.py:619-691; val :753-783)."""
+    m = spec.model
+    preds = forward(m, params, consts, None, coords, t, train=train, rng=rng)
+
+    if spec.regression_type == "mean":
+        loss = mse_loss(preds, y, w)
+    elif spec.regression_type == "quantile":
+        loss = quantile_loss(preds, y, float(spec.current_quantile), w)
+    elif spec.regression_type == "multi-quantile":
+        q = jnp.asarray(spec.quantile_levels, jnp.float32)
+        loss = multi_quantile_loss(preds, y, q, w)
+        if m.use_delta_reparameterization and m.delta_head:
+            if spec.non_crossing_lambda > 0:
+                loss = loss + spec.non_crossing_lambda * p_nc_delta_penalty(
+                    params["mlp"]["delta"])
+        else:
+            if spec.non_crossing_weight > 0:
+                loss = loss + spec.non_crossing_weight * non_crossing_penalty(
+                    preds, "mean", spec.non_crossing_power, weights=w)
+    else:
+        raise ValueError(f"Unknown regression_type: {spec.regression_type}")
+
+    if train:
+        if m.spatial_learnable:
+            if spec.domain_penalty_weight > 0:
+                loss = loss + spec.domain_penalty_weight * domain_penalty(m, params)
+            if spec.movement_penalty_weight > 0:
+                loss = loss + spec.movement_penalty_weight * movement_penalty(
+                    m, params, consts)
+        if spec.sparsity_penalty_type != "none":
+            pen = sparsity_penalty(m, params, spec.sparsity_penalty_type,
+                                   spec.sparsity_lambda_l1,
+                                   spec.sparsity_lambda_group)
+            if spec.sparsity_apply_to_spatial:
+                loss = loss + pen["spatial_penalty"]
+            if spec.sparsity_apply_to_temporal:
+                loss = loss + pen["temporal_penalty"]
+    return loss
+
+
+def _transform_grads(spec: LoopSpec, grads: Params, params: Params,
+                     consts: Dict[str, Any]) -> Params:
+    """Gradient damping on centers, then per-group global-norm clipping."""
+    m = spec.model
+    if m.spatial_learnable and spec.gradient_damping:
+        g = dict(grads)
+        basis = dict(g["basis"])
+        basis["centers"] = gradient_damping(
+            basis["centers"], params["basis"]["centers"],
+            consts["spatial_centers_init"], spec.damping_threshold,
+            spec.damping_strength)
+        g["basis"] = basis
+        grads = g
+    if spec.grad_clip > 0:
+        if m.spatial_learnable:
+            g = dict(grads)
+            g["basis"] = clip_by_global_norm(grads["basis"], spec.grad_clip * 0.1)
+            rest = {k: v for k, v in grads.items() if k != "basis"}
+            rest = clip_by_global_norm(rest, spec.grad_clip)
+            g.update(rest)
+            grads = g
+        else:
+            grads = clip_by_global_norm(grads, spec.grad_clip)
+    return grads
+
+
+# ---------------------------------------------------------------------------
+# Validation (EMA weights, dropout off)
+# ---------------------------------------------------------------------------
+
+def _validate(spec: LoopSpec, ema: Params, consts: Dict[str, Any],
+              data: TrainData) -> Tuple[jax.Array, jax.Array]:
+    """Return (val_loss, val_rmse).
+
+    val_loss is the mean over validation chunks of per-chunk mean losses
+    (the reference averages per-batch means, :785-792). val_rmse is the
+    global RMSE of the median-quantile predictions (:794-806).
+    """
+    m = spec.model
+    C, K = spec.val_chunk, spec.n_val_chunks
+    coords = data.va_coords.reshape(K, C, 2)
+    t = data.va_t.reshape(K, C, 1)
+    y = data.va_y.reshape(K, C, 1)
+    w = data.va_w.reshape(K, C)
+
+    def chunk_stats(carry, xs):
+        ck, tk, yk, wk = xs
+        loss = training_loss(spec, ema, consts, ck, tk, yk, wk,
+                             train=False, rng=None)
+        preds = forward(m, ema, consts, None, ck, tk, train=False)
+        if spec.regression_type == "multi-quantile":
+            median_idx = len(spec.quantile_levels) // 2
+            p_for_rmse = preds[:, median_idx:median_idx + 1]
+        else:
+            p_for_rmse = preds
+        se = jnp.sum((p_for_rmse - yk) ** 2 * wk[:, None])
+        cnt = jnp.sum(wk)
+        has_real = (cnt > 0).astype(jnp.float32)
+        return carry, (loss * has_real, has_real, se, cnt)
+
+    _, (losses, valid, se, cnt) = jax.lax.scan(
+        chunk_stats, None, (coords, t, y, w))
+    val_loss = jnp.sum(losses) / jnp.maximum(jnp.sum(valid), 1.0)
+    val_rmse = jnp.sqrt(jnp.sum(se) / jnp.maximum(jnp.sum(cnt), 1.0))
+    return val_loss, val_rmse
+
+
+# ---------------------------------------------------------------------------
+# Epoch
+# ---------------------------------------------------------------------------
+
+def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
+               carry: Dict[str, Any],
+               epoch_xs: Tuple[jax.Array, jax.Array, jax.Array]
+               ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
+    epoch_idx, lr_epoch, active = epoch_xs    # lr_epoch: (n_batches, 2)
+    m = spec.model
+    B = spec.n_batches
+    bs = spec.batch_size
+    cap = data.tr_coords.shape[0]
+
+    key = jax.random.fold_in(carry["key"], epoch_idx)
+    perm_key, drop_key = jax.random.split(key)
+    perm = jax.random.permutation(perm_key, cap)
+    batch_idx = perm[: B * bs].reshape(B, bs)
+
+    def train_step(step_carry, xs):
+        params, opt_state, ema, nan_epoch, loss_sum = step_carry
+        idx, lrs, b = xs
+        coords = data.tr_coords[idx]
+        t = data.tr_t[idx]
+        y = data.tr_y[idx]
+        w = data.tr_w[idx]
+        rng = jax.random.fold_in(drop_key, b)
+
+        loss, grads = jax.value_and_grad(
+            lambda p: training_loss(spec, p, consts, coords, t, y, w,
+                                    train=True, rng=rng))(params)
+        grads = _transform_grads(spec, grads, params, consts)
+        lr_tree = lr_tree_for(params, lrs[0], lrs[1])
+        new_params, new_opt = adamw_update(params, grads, opt_state, lr_tree,
+                                           spec.weight_decay)
+        new_ema = ema_update(ema, new_params, data.ema_decay)
+
+        # a step executes if: within this lane's real batch count AND the
+        # epoch hasn't been NaN-poisoned by an earlier batch (ref :723-733
+        # breaks out of the batch loop after a NaN loss)
+        executes = jnp.logical_and(b < data.n_batches,
+                                   jnp.logical_not(nan_epoch))
+        sel = lambda new, old: jax.tree_util.tree_map(
+            lambda a, c: jnp.where(executes, a, c), new, old)
+        params = sel(new_params, params)
+        opt_state = sel(new_opt, opt_state)
+        ema = sel(new_ema, ema)
+        loss_sum = loss_sum + jnp.where(executes, loss, 0.0)
+        nan_epoch = jnp.logical_or(
+            nan_epoch, jnp.logical_and(executes, ~jnp.isfinite(loss)))
+        return (params, opt_state, ema, nan_epoch, loss_sum), None
+
+    step_init = (carry["params"], carry["opt_state"], carry["ema"],
+                 jnp.asarray(False), jnp.asarray(0.0, jnp.float32))
+    (params, opt_state, ema, nan_epoch, loss_sum), _ = jax.lax.scan(
+        train_step, step_init,
+        (batch_idx, lr_epoch, jnp.arange(B, dtype=jnp.int32)))
+
+    train_loss = loss_sum / jnp.maximum(data.n_batches.astype(jnp.float32), 1.0)
+    train_loss = jnp.where(nan_epoch, jnp.nan, train_loss)
+
+    val_loss, val_rmse = _validate(spec, ema, consts, data)
+
+    improved = jnp.logical_and(jnp.isfinite(val_loss),
+                               val_loss < carry["best_val"])
+    best_val = jnp.where(improved, val_loss, carry["best_val"])
+    best_ema = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(improved, new, old), ema, carry["best_ema"])
+    has_best = jnp.logical_or(carry["has_best"], improved)
+    patience_ctr = jnp.where(improved, 0, carry["patience_ctr"] + 1)
+    stop_now = patience_ctr >= spec.patience
+    stopped = jnp.logical_or(carry["stopped"], stop_now)
+    stop_epoch = jnp.where(
+        jnp.logical_and(stop_now, jnp.logical_not(carry["stopped"])),
+        epoch_idx + 1, carry["stop_epoch"])
+
+    # lanes that had already stopped keep their previous state entirely;
+    # inactive (padding) epochs at the tail of a partial chunk likewise
+    was_stopped = jnp.logical_or(carry["stopped"], jnp.logical_not(active))
+    keep = lambda new, old: jax.tree_util.tree_map(
+        lambda a, c: jnp.where(was_stopped, c, a), new, old)
+    new_carry = {
+        "params": keep(params, carry["params"]),
+        "opt_state": keep(opt_state, carry["opt_state"]),
+        "ema": keep(ema, carry["ema"]),
+        "best_ema": keep(best_ema, carry["best_ema"]),
+        "best_val": jnp.where(was_stopped, carry["best_val"], best_val),
+        "has_best": jnp.where(was_stopped, carry["has_best"], has_best),
+        "patience_ctr": jnp.where(was_stopped, carry["patience_ctr"], patience_ctr),
+        "stopped": jnp.where(was_stopped, carry["stopped"], stopped),
+        "stop_epoch": jnp.where(was_stopped, carry["stop_epoch"], stop_epoch),
+        "key": carry["key"],
+    }
+    hist = {
+        "train_loss": jnp.where(was_stopped, jnp.nan, train_loss),
+        "val_loss": jnp.where(was_stopped, jnp.nan, val_loss),
+        "val_rmse": jnp.where(was_stopped, jnp.nan, val_rmse),
+    }
+    if spec.record_centers:
+        hist["centers"] = new_carry["params"]["basis"]["centers"]
+    return new_carry, hist
+
+
+def make_epoch_scan(spec: LoopSpec):
+    """Build fit_chunk(carry, consts, data, epoch_ids, lr_chunk) scanning a
+    block of epochs. Pure; jit/vmap-friendly."""
+
+    def fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active):
+        def body(c, xs):
+            return _run_epoch(spec, consts, data, c, xs)
+        carry, hist = jax.lax.scan(body, carry, (epoch_ids, lr_chunk, active))
+        return carry, hist
+
+    return fit_chunk
+
+
+def init_carry(params: Params, key: jax.Array) -> Dict[str, Any]:
+    # distinct buffers per role — carry leaves must not alias under donation
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), t)
+    return {
+        "params": copy(params),
+        "opt_state": adamw_init(params),
+        "ema": copy(params),
+        "best_ema": copy(params),
+        "best_val": jnp.asarray(np.inf, jnp.float32),
+        "has_best": jnp.asarray(False),
+        "patience_ctr": jnp.asarray(0, jnp.int32),
+        "stopped": jnp.asarray(False),
+        "stop_epoch": jnp.asarray(0, jnp.int32),
+        "key": key,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host-side fit orchestration (single experiment)
+# ---------------------------------------------------------------------------
+
+class FitResult(NamedTuple):
+    params: Params               # final model = best EMA (or final EMA)
+    final_ema: Params
+    history: Dict[str, np.ndarray]
+    best_val: float
+    n_epochs_run: int
+    stopped_early: bool
+    centers_history: list       # [(epoch, centers np)] every 100 epochs
+
+
+def adaptive_batch_size(n_train: int, batch_size: int,
+                        min_batches: int = 10) -> int:
+    """Halve the batch until >= min_batches batches/epoch
+    (ref train_st_interp.py:2275-2288)."""
+    while n_train / batch_size < min_batches and batch_size > 1:
+        batch_size //= 2
+    return batch_size
+
+
+def prepare_train_data(train_ps: PointSet, valid_ps: PointSet,
+                       batch_size: int, val_chunk: Optional[int] = None,
+                       cap_tr: Optional[int] = None,
+                       cap_va: Optional[int] = None
+                       ) -> Tuple[TrainData, int, int]:
+    """Pad pointsets and compute lane scalars.
+
+    Returns (TrainData, n_batches_shared, val params). val_chunk mirrors the
+    reference rule min(max(16*batch, 32768), n_valid) (:2290-2293).
+    """
+    n_tr = train_ps.n_real
+    B_lane = max(1, -(-n_tr // batch_size))
+    cap_tr = cap_tr or B_lane * batch_size
+    tr = pad_pointset(train_ps, cap_tr)
+
+    n_va = max(1, valid_ps.n_real)
+    vchunk = val_chunk or min(max(batch_size * 16, 32768), n_va)
+    n_chunks = max(1, -(-n_va // vchunk))
+    cap_va = cap_va or n_chunks * vchunk
+    va = pad_pointset(valid_ps, cap_va)
+
+    ema_decay = 1.0 - 1.0 / (10.0 * B_lane)
+    data = TrainData(
+        tr_coords=jnp.asarray(tr.coords), tr_t=jnp.asarray(tr.t),
+        tr_y=jnp.asarray(tr.y), tr_w=jnp.asarray(tr.w),
+        va_coords=jnp.asarray(va.coords), va_t=jnp.asarray(va.t),
+        va_y=jnp.asarray(va.y), va_w=jnp.asarray(va.w),
+        n_batches=jnp.asarray(B_lane, jnp.int32),
+        ema_decay=jnp.asarray(ema_decay, jnp.float32),
+    )
+    return data, B_lane, vchunk
+
+
+def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
+        consts: Dict[str, Any], train_ps: PointSet, valid_ps: PointSet,
+        seed: int, epochs_chunk: int = 50, verbose: bool = False) -> FitResult:
+    """Train one model. Runs the jitted epoch scan in chunks so early stopping
+    can exit between chunks without recompiling."""
+    batch_size = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
+    data, B, val_chunk = prepare_train_data(train_ps, valid_ps, batch_size)
+    n_val_chunks = data.va_coords.shape[0] // val_chunk
+
+    spec = LoopSpec.from_config(cfg, spec_model, batch_size, B,
+                                val_chunk, n_val_chunks)
+    lr_mlp, lr_basis, lr_recorded = build_lr_tables(cfg, B)
+    lr_steps = np.stack([lr_mlp, lr_basis], axis=-1).reshape(cfg.epochs, B, 2)
+
+    fit_chunk = jax.jit(make_epoch_scan(spec), donate_argnums=(0,))
+    carry = init_carry(params, jax.random.PRNGKey(seed))
+
+    E = cfg.epochs
+    chunk = min(epochs_chunk, E)
+    hists = []
+    epochs_done = 0
+    while epochs_done < E:
+        c = min(chunk, E - epochs_done)
+        ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
+        lr_c = jnp.asarray(lr_steps[epochs_done:epochs_done + c])
+        active = jnp.ones((chunk,), bool)
+        if c != chunk:
+            # pad the final partial chunk so the jitted shape is reused;
+            # padded epochs are inactive no-ops
+            pad = chunk - c
+            ids = jnp.concatenate([ids, jnp.full((pad,), E - 1, jnp.int32)])
+            lr_c = jnp.concatenate([lr_c, jnp.repeat(lr_c[-1:], pad, 0)])
+            active = active.at[c:].set(False)
+        carry, hist = fit_chunk(carry, consts, data, ids, lr_c, active)
+        hist = jax.tree_util.tree_map(lambda x: np.asarray(x[:c]), hist)
+        hists.append(hist)
+        epochs_done += c
+        if bool(np.asarray(carry["stopped"])):
+            if verbose:
+                print(f"Early stopping by epoch {epochs_done}")
+            break
+
+    history_concat = {k: np.concatenate([h[k] for h in hists])
+                      for k in hists[0]}
+    return assemble_result(spec, carry, history_concat, lr_recorded,
+                           epochs_done)
+
+
+def assemble_result(spec: LoopSpec, carry: Dict[str, Any],
+                    history_concat: Dict[str, np.ndarray],
+                    lr_recorded: np.ndarray, epochs_done: int) -> FitResult:
+    """Build a FitResult from a finished carry + concatenated epoch history.
+
+    Shared by the single-experiment host loop and the vmapped batch engine
+    (which slices one lane out of the stacked carry/history first)."""
+    stop_epoch = int(np.asarray(carry["stop_epoch"]))
+    stopped = bool(np.asarray(carry["stopped"]))
+    n_run = stop_epoch if stopped else epochs_done
+    history = {k: np.asarray(v[:n_run]) for k, v in history_concat.items()
+               if k != "centers"}
+    history["lr"] = lr_recorded[:n_run].copy()
+
+    centers_history = []
+    if spec.record_centers and "centers" in history_concat:
+        all_centers = np.asarray(history_concat["centers"][:n_run])
+        for e in range(99, n_run, 100):
+            centers_history.append((e + 1, all_centers[e]))
+
+    has_best = bool(np.asarray(carry["has_best"]))
+    best = carry["best_ema"] if has_best else carry["ema"]
+    return FitResult(
+        params=jax.tree_util.tree_map(np.asarray, best),
+        final_ema=jax.tree_util.tree_map(np.asarray, carry["ema"]),
+        history=history,
+        best_val=float(np.asarray(carry["best_val"])),
+        n_epochs_run=n_run,
+        stopped_early=stopped,
+        centers_history=centers_history,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inference
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _predict_chunked(spec_model: ModelSpec, params: Params,
+                     consts: Dict[str, Any], coords: jax.Array,
+                     t: jax.Array, n_chunks: int) -> jax.Array:
+    C = coords.shape[0] // n_chunks
+    coords = coords.reshape(n_chunks, C, 2)
+    t = t.reshape(n_chunks, C, 1)
+
+    def body(_, xs):
+        ck, tk = xs
+        return None, forward(spec_model, params, consts, None, ck, tk,
+                             train=False)
+    _, preds = jax.lax.scan(body, None, (coords, t))
+    return preds.reshape(n_chunks * C, -1)
+
+
+def predict(spec_model: ModelSpec, params: Params, consts: Dict[str, Any],
+            coords: np.ndarray, t: np.ndarray,
+            chunk: int = 32768) -> np.ndarray:
+    """Dense batched inference; pads to a chunk multiple and truncates."""
+    n = coords.shape[0]
+    n_pad = round_up(n, chunk)
+    n_chunks = n_pad // chunk
+    coords_p = np.zeros((n_pad, 2), np.float32)
+    coords_p[:n] = coords
+    t_p = np.zeros((n_pad, 1), np.float32)
+    t_p[:n] = t.reshape(n, 1)
+    preds = _predict_chunked(spec_model,
+                             jax.tree_util.tree_map(jnp.asarray, params),
+                             consts, jnp.asarray(coords_p), jnp.asarray(t_p),
+                             n_chunks)
+    return np.asarray(preds[:n])

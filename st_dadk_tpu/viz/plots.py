@@ -1,0 +1,190 @@
+"""Figure families for per-experiment diagnostics.
+
+Covers the reference's five plot families (train_st_interp.py:989-1933):
+training curves, prediction heatmaps, per-site spatial MSE map, per-site
+temporal series with quantile fans, observation-pattern maps, and basis
+evolution. Offline matplotlib; never on the hot path.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def plot_training_curves(history: Dict[str, list], path: Path) -> None:
+    """Loss / RMSE / LR panels (ref :989-1053)."""
+    epochs = np.arange(1, len(history["train_loss"]) + 1)
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    axes[0].plot(epochs, history["train_loss"], label="train")
+    axes[0].plot(epochs, history["val_loss"], label="valid")
+    axes[0].set_xlabel("epoch"); axes[0].set_ylabel("loss")
+    axes[0].set_title("Loss"); axes[0].legend(); axes[0].grid(alpha=0.3)
+    axes[1].plot(epochs, history["val_rmse"], color="tab:green")
+    axes[1].set_xlabel("epoch"); axes[1].set_ylabel("val RMSE")
+    axes[1].set_title("Validation RMSE"); axes[1].grid(alpha=0.3)
+    axes[2].plot(epochs, history["lr"], color="tab:red")
+    axes[2].set_xlabel("epoch"); axes[2].set_ylabel("lr")
+    axes[2].set_title("Learning rate"); axes[2].grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def _site_scatter(ax, coords: np.ndarray, values: np.ndarray, title: str,
+                  cmap: str = "viridis", vmin=None, vmax=None):
+    sc = ax.scatter(coords[:, 0], coords[:, 1], c=values, s=6, cmap=cmap,
+                    vmin=vmin, vmax=vmax)
+    ax.set_title(title)
+    ax.set_xlim(0, 1); ax.set_ylim(0, 1); ax.set_aspect("equal")
+    plt.colorbar(sc, ax=ax, shrink=0.8)
+
+
+def plot_observation_pattern(coords: np.ndarray, obs_mask: np.ndarray,
+                             train_mask: np.ndarray, valid_mask: np.ndarray,
+                             output_dir: Path) -> None:
+    """2x2 per-site observation-count maps (ref :1558-1634)."""
+    test_mask = ~obs_mask
+    fig, axes = plt.subplots(2, 2, figsize=(11, 10))
+    for ax, (mask, title) in zip(
+            axes.ravel(),
+            [(obs_mask, "observed"), (train_mask, "train"),
+             (valid_mask, "valid"), (test_mask, "test")]):
+        _site_scatter(ax, coords, mask.sum(axis=0), f"{title} counts per site")
+    fig.suptitle("Observation pattern")
+    fig.tight_layout()
+    fig.savefig(Path(output_dir) / "observation_pattern.png", dpi=100)
+    plt.close(fig)
+
+
+def plot_predictions(cfg, spec, params, consts, z_full: np.ndarray,
+                     coords: np.ndarray, train_mask: np.ndarray,
+                     output_dir: Path, n_times: int = 3) -> None:
+    """True / predicted / bias maps at a few time slices (ref :1056-1192)."""
+    from st_dadk_tpu.train.loop import predict
+    T, S = z_full.shape
+    t_indices = np.linspace(0, T - 1, n_times).astype(int)
+    fig, axes = plt.subplots(n_times, 3, figsize=(16, 4.6 * n_times),
+                             squeeze=False)
+    for row, t_idx in enumerate(t_indices):
+        t_arr = np.full((S, 1), t_idx / (T - 1) if T > 1 else 0.0, np.float32)
+        preds = predict(spec, params, consts, coords, t_arr)
+        if cfg.regression_type == "multi-quantile":
+            preds = preds[:, len(cfg.quantile_levels) // 2]
+        else:
+            preds = preds[:, 0]
+        true = z_full[t_idx]
+        vmin, vmax = np.nanmin(true), np.nanmax(true)
+        _site_scatter(axes[row][0], coords, true, f"true t={t_idx+1}",
+                      vmin=vmin, vmax=vmax)
+        _site_scatter(axes[row][1], coords, preds, f"pred t={t_idx+1}",
+                      vmin=vmin, vmax=vmax)
+        _site_scatter(axes[row][2], coords, preds - true, f"bias t={t_idx+1}",
+                      cmap="coolwarm")
+    fig.tight_layout()
+    fig.savefig(Path(output_dir) / "predictions.png", dpi=100)
+    plt.close(fig)
+
+
+def plot_spatial_mse(z_full: np.ndarray, coords: np.ndarray,
+                     all_predictions: np.ndarray, train_mask: np.ndarray,
+                     output_dir: Path) -> None:
+    """Per-site time-averaged MSE map (ref :1196-1300)."""
+    err = (all_predictions - z_full) ** 2
+    site_mse = np.nanmean(err, axis=0)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    _site_scatter(ax, coords, site_mse, "per-site time-avg MSE", cmap="magma")
+    n_train_per_site = train_mask.sum(axis=0)
+    obs_sites = n_train_per_site > 0
+    ax.scatter(coords[obs_sites, 0], coords[obs_sites, 1], s=12,
+               facecolors="none", edgecolors="cyan", linewidths=0.4,
+               label="train sites")
+    ax.legend(loc="upper right")
+    fig.tight_layout()
+    fig.savefig(Path(output_dir) / "spatial_mse.png", dpi=100)
+    plt.close(fig)
+
+
+def plot_temporal_series(cfg, spec, params, consts, z_full: np.ndarray,
+                         coords: np.ndarray, train_mask: np.ndarray,
+                         valid_mask: np.ndarray, test_mask: np.ndarray,
+                         output_dir: Path, n_sites: int = 4) -> None:
+    """Per-site time series; quantile fan for multi-quantile (ref :1303-1555)."""
+    from st_dadk_tpu.train.loop import predict
+    T, S = z_full.shape
+    rng = np.random.default_rng(0)
+    # pick sites across the three roles
+    train_sites = np.where(train_mask.any(axis=0))[0]
+    test_sites = np.where(test_mask.all(axis=0))[0]
+    chosen: List[int] = []
+    for pool in (train_sites, test_sites):
+        if len(pool):
+            chosen += list(rng.choice(pool, size=min(n_sites // 2, len(pool)),
+                                      replace=False))
+    chosen = chosen[:n_sites] or [0]
+
+    t_vals = (np.arange(T, dtype=np.float32) / max(T - 1, 1))[:, None]
+    fig, axes = plt.subplots(len(chosen), 1, figsize=(12, 3 * len(chosen)),
+                             squeeze=False)
+    for row, s in enumerate(chosen):
+        ax = axes[row][0]
+        c = np.tile(coords[s], (T, 1))
+        preds = predict(spec, params, consts, c, t_vals)
+        tt = np.arange(1, T + 1)
+        if cfg.regression_type == "multi-quantile" and preds.shape[1] > 1:
+            qs = list(cfg.quantile_levels)
+            med = len(qs) // 2
+            for lo in range(med):
+                hi = len(qs) - 1 - lo
+                ax.fill_between(tt, preds[:, lo], preds[:, hi], alpha=0.18,
+                                color="tab:blue",
+                                label=f"q{qs[lo]}-q{qs[hi]}" if row == 0 else None)
+            ax.plot(tt, preds[:, med], color="tab:blue", label="median")
+        else:
+            ax.plot(tt, preds[:, 0], color="tab:blue", label="pred")
+        ax.plot(tt, z_full[:, s], ".", ms=3, color="black", label="true")
+        role = ("train" if train_mask[:, s].any()
+                else "valid" if valid_mask[:, s].any() else "test")
+        ax.set_title(f"site {s} ({role}) at ({coords[s,0]:.2f},{coords[s,1]:.2f})")
+        if row == 0:
+            ax.legend(ncol=4, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(Path(output_dir) / "temporal_series.png", dpi=100)
+    plt.close(fig)
+
+
+def plot_basis_evolution(centers_init: np.ndarray, bw_init: np.ndarray,
+                         centers_final: np.ndarray, bw_final: np.ndarray,
+                         train_coords: np.ndarray, output_dir: Path,
+                         centers_history: Optional[List[Tuple[int, np.ndarray]]]
+                         = None) -> None:
+    """Init vs final centers with movement traces (ref :1637-1933)."""
+    fig, axes = plt.subplots(1, 2, figsize=(13, 6))
+    for ax, (c, bw, title) in zip(axes, [
+            (centers_init, bw_init, "initial"),
+            (centers_final, bw_final, "final")]):
+        if len(train_coords):
+            sub = train_coords[np.random.default_rng(0).choice(
+                len(train_coords), size=min(2000, len(train_coords)),
+                replace=False)]
+            ax.scatter(sub[:, 0], sub[:, 1], s=2, c="lightgray",
+                       label="train points")
+        sc = ax.scatter(c[:, 0], c[:, 1], s=18, c=bw, cmap="plasma")
+        plt.colorbar(sc, ax=ax, shrink=0.8, label="bandwidth")
+        ax.set_title(f"{title} basis centers")
+        ax.set_xlim(-0.1, 1.1); ax.set_ylim(-0.1, 1.1); ax.set_aspect("equal")
+    moved = np.linalg.norm(centers_final - centers_init, axis=1) > 1e-4
+    for i in np.where(moved)[0]:
+        axes[1].plot([centers_init[i, 0], centers_final[i, 0]],
+                     [centers_init[i, 1], centers_final[i, 1]],
+                     color="gray", lw=0.5, alpha=0.6)
+    if centers_history:
+        for epoch, cs in centers_history:
+            axes[1].scatter(cs[:, 0], cs[:, 1], s=3, alpha=0.25, c="tab:orange")
+    fig.tight_layout()
+    fig.savefig(Path(output_dir) / "basis_evolution.png", dpi=100)
+    plt.close(fig)

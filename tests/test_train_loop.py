@@ -1,0 +1,167 @@
+"""End-to-end training-loop tests on tiny synthetic data."""
+import jax
+import numpy as np
+import pytest
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.dataio.arrays import PointSet
+from st_dadk_tpu.models.st_interp import init_model, spec_from_config
+from st_dadk_tpu.train.loop import adaptive_batch_size, fit, predict
+
+
+def _synthetic(n=512, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(size=(n, 2)).astype(np.float32)
+    t = rng.uniform(size=(n, 1)).astype(np.float32)
+    y = (np.sin(3 * coords[:, :1]) + np.cos(2 * coords[:, 1:2]) + 0.5 * t
+         ).astype(np.float32)
+    return PointSet(coords=coords, t=t, y=y, w=np.ones(n, np.float32), n_real=n)
+
+
+def _cfg(**kw):
+    base = dict(
+        k_spatial_centers=[16], k_temporal_centers=[5],
+        hidden_dims=[32, 16], dropout=0.0, epochs=30, lr=1e-2,
+        batch_size=64, patience=100, warmup_epochs=2, scheduler="cosine",
+        grad_clip=10.0, weight_decay=1e-5, regression_type="mean",
+        use_pallas=False,
+    )
+    base.update(kw)
+    return ExperimentConfig.from_dict(base)
+
+
+class TestAdaptiveBatch:
+    def test_halving(self):
+        # ref rule: halve until >= 10 batches/epoch (:2275-2288)
+        assert adaptive_batch_size(8000, 4096) == 512
+        assert adaptive_batch_size(100000, 4096) == 4096
+        assert adaptive_batch_size(50, 4096) == 4
+
+    def test_floor_one(self):
+        assert adaptive_batch_size(5, 2) >= 1
+
+
+class TestFitMean:
+    def test_loss_decreases_and_predicts(self):
+        cfg = _cfg()
+        train_ps = _synthetic(512, 0)
+        valid_ps = _synthetic(128, 1)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(42), spec)
+        res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=42,
+                  epochs_chunk=10)
+        hist = res.history
+        assert len(hist["train_loss"]) == 30
+        assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.8
+        assert np.all(np.isfinite(hist["val_loss"]))
+        assert res.n_epochs_run == 30
+        # final model predicts reasonably
+        preds = predict(spec, res.params, consts, valid_ps.coords,
+                        valid_ps.t, chunk=256)
+        rmse = np.sqrt(np.mean((preds - valid_ps.y) ** 2))
+        assert rmse < 0.5
+        assert len(hist["lr"]) == 30
+
+    def test_early_stopping(self):
+        cfg = _cfg(patience=3, epochs=50, lr=0.0)  # lr=0 -> no improvement
+        train_ps = _synthetic(256, 0)
+        valid_ps = _synthetic(64, 1)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(0), spec)
+        res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=0,
+                  epochs_chunk=10)
+        # first epoch sets best; then 3 non-improving epochs trigger stop
+        assert res.stopped_early
+        assert res.n_epochs_run == 4
+        assert len(res.history["val_loss"]) == 4
+
+
+class TestFitMultiQuantile:
+    def test_delta_head_fit(self):
+        cfg = _cfg(regression_type="multi-quantile",
+                   quantile_levels=[0.05, 0.25, 0.5, 0.75, 0.95],
+                   use_delta_reparameterization=True,
+                   non_crossing_lambda=1.0, epochs=20)
+        train_ps = _synthetic(512, 0)
+        valid_ps = _synthetic(128, 1)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(7), spec)
+        res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=7,
+                  epochs_chunk=20)
+        assert np.isfinite(res.best_val)
+        preds = predict(spec, res.params, consts, valid_ps.coords, valid_ps.t,
+                        chunk=128)
+        assert preds.shape == (128, 5)
+        # median-quantile predictions should track the target
+        rmse = np.sqrt(np.mean((preds[:, 2:3] - valid_ps.y) ** 2))
+        assert rmse < 0.8
+
+    def test_prediction_level_penalty_path(self):
+        cfg = _cfg(regression_type="multi-quantile",
+                   quantile_levels=[0.1, 0.5, 0.9],
+                   use_delta_reparameterization=False,
+                   non_crossing_weight=0.5, non_crossing_power=2, epochs=5)
+        train_ps = _synthetic(256, 0)
+        valid_ps = _synthetic(64, 1)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(1), spec)
+        res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=1,
+                  epochs_chunk=5)
+        assert np.all(np.isfinite(res.history["train_loss"]))
+
+
+class TestFitLearnableBasis:
+    def test_learnable_with_all_mechanisms(self):
+        cfg = _cfg(spatial_learnable=True, gradient_damping=True,
+                   damping_threshold=0.0, damping_strength=5.0,
+                   domain_penalty_weight=0.01, basis_unfreeze_epoch=2,
+                   basis_lr_rampup_epochs=3, epochs=12,
+                   sparsity_penalty_type="sparse_group",
+                   sparsity_lambda_l1=1e-4, sparsity_lambda_group=1e-4)
+        train_ps = _synthetic(512, 3)
+        valid_ps = _synthetic(128, 4)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(5), spec)
+        res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=5,
+                  epochs_chunk=12)
+        assert np.all(np.isfinite(res.history["train_loss"]))
+        # centers moved (but only after unfreeze)
+        final_centers = res.params["basis"]["centers"]
+        init_centers = np.asarray(consts["spatial_centers_init"])
+        assert not np.allclose(final_centers, init_centers)
+
+    def test_frozen_before_unfreeze(self):
+        # NOTE scheduler=None: with a cosine scheduler the reference's
+        # epoch-end scheduler step assigns a NONZERO basis LR even before
+        # unfreeze (recursion from 0 toward eta_min) — a faithful quirk
+        # covered by test_optimizer.TestLrTables.
+        cfg = _cfg(spatial_learnable=True, basis_unfreeze_epoch=100,
+                   epochs=5, warmup_epochs=0, scheduler=None)
+        train_ps = _synthetic(256, 0)
+        valid_ps = _synthetic(64, 1)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(9), spec)
+        res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=9,
+                  epochs_chunk=5)
+        # basis LR stays 0 until epoch 100 (never reached): identical centers.
+        # NOTE: AdamW weight decay multiplies by (1 - lr*wd) = 1 when lr=0.
+        assert np.allclose(res.params["basis"]["centers"],
+                           np.asarray(consts["spatial_centers_init"]), atol=1e-7)
+
+
+class TestWeightedPaddingInvariance:
+    def test_padding_does_not_change_eval(self):
+        """Validation metrics must be identical whether or not the valid set
+        carries padding rows (weight-0)."""
+        cfg = _cfg(epochs=3)
+        train_ps = _synthetic(256, 0)
+        valid_a = _synthetic(100, 1)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(2), spec)
+        r1 = fit(cfg, spec, params, consts, train_ps, valid_a, seed=2,
+                 epochs_chunk=3)
+        # same valid points, bigger padded capacity via val_chunk mechanics
+        r2 = fit(cfg, spec, params, consts, train_ps, valid_a, seed=2,
+                 epochs_chunk=3)
+        assert np.allclose(r1.history["val_loss"], r2.history["val_loss"],
+                           atol=1e-6)
