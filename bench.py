@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: experiment-fit throughput on the reference workload.
+
+Workload = the reference's default config (configs/config_st_interp.yaml of
+STLABTW/ST-DADK): dataset 2a_8 (T=100, S=1000), multi-quantile
+tau={.05,.25,.5,.75,.95}, GMM-initialized learnable Wendland basis, AdamW
+2e-2 + warmup/cosine + EMA, 500 epochs max with patience 50 — i.e. one full
+DA-STDK fit. We run a vmapped batch of M fits on the TPU and report
+steady-state fits/hour.
+
+Baseline: the same workload measured with the actual reference code on this
+host's CPU = 35.0 fits/hour single-process (baselines/reference_cpu.json;
+3 fits, mean 102.8 s/fit). The reference's parallel mode is joblib
+n_jobs=10, so vs_baseline divides by 10x the single-process rate — an
+optimistic proxy for the reference (perfect scaling, 10 cores).
+
+Prints ONE JSON line:
+    {"metric": "fits_per_hour", "value": ..., "unit": "fits/hour",
+     "vs_baseline": ...}
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_FITS_PER_HOUR_1CORE = 35.0
+BASELINE_JOBLIB10_PROXY = BASELINE_FITS_PER_HOUR_1CORE * 10.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import numpy as np
+
+    from st_dadk_tpu.config import ExperimentConfig
+    from st_dadk_tpu.train.batch_engine import run_experiment_batch
+
+    M = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    base = dict(
+        tag="bench",
+        data_file="data/2a/2a_8.csv",
+        k_spatial_centers=[25, 81, 121],
+        k_temporal_centers=[10, 15, 45],
+        spatial_basis_function="wendland",
+        spatial_init_method="gmm",
+        spatial_learnable=True,
+        gradient_damping=True, damping_threshold=0.0, damping_strength=5.0,
+        domain_penalty_weight=0.01,
+        sparsity_penalty_type="sparse_group",
+        sparsity_lambda_l1=0.0, sparsity_lambda_group=0.0,
+        sparsity_apply_to_temporal=False,
+        hidden_dims=[256, 256, 128], dropout=0.1, layernorm=True,
+        obs_method="site-wise", obs_ratio=0.1,
+        obs_spatial_pattern="corner", obs_spatial_intensity=10.0,
+        split_method="random", train_ratio=0.8,
+        epochs=500, lr=2e-2, basis_lr_ratio=0.05, weight_decay=5e-4,
+        batch_size=4096, patience=50, grad_clip=10.0,
+        scheduler="cosine", warmup_epochs=10,
+        basis_unfreeze_epoch=10, basis_lr_rampup_epochs=10,
+        regression_type="multi-quantile",
+        quantile_levels=[0.05, 0.25, 0.5, 0.75, 0.95],
+        base_seed=2025,
+        save_plots=False, save_artifacts=False,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="stdadk_bench_"))
+    try:
+        # warmup: compiles the epoch-scan program (cached for the timed run)
+        warm_cfg = ExperimentConfig.from_dict({**base, "base_seed": 9999})
+        log(f"[bench] warmup batch (M={M}) — compiling...")
+        t0 = time.time()
+        run_experiment_batch(warm_cfg, list(range(1, M + 1)), tmp / "warm",
+                             verbose=False, epochs_chunk=100)
+        log(f"[bench] warmup done in {time.time()-t0:.1f}s")
+
+        cfg = ExperimentConfig.from_dict(base)
+        t0 = time.time()
+        results = run_experiment_batch(cfg, list(range(1, M + 1)),
+                                       tmp / "timed", verbose=False,
+                                       epochs_chunk=100)
+        wall = time.time() - t0
+        fits_per_hour = M / wall * 3600.0
+
+        crps = [r.get("test_crps") for r in results]
+        rmse = [r.get("test_rmse") for r in results]
+        log(f"[bench] {M} fits in {wall:.1f}s -> {fits_per_hour:.1f} fits/hr")
+        log(f"[bench] test CRPS mean={np.mean(crps):.4f} "
+            f"(reference CPU: 0.484 +/- 0.013); "
+            f"test RMSE mean={np.mean(rmse):.4f} (reference: 0.963)")
+
+        details = {
+            "M": M, "wall_seconds": wall,
+            "fits_per_hour": fits_per_hour,
+            "test_crps": crps, "test_rmse": rmse,
+            "baseline_1core_fits_per_hour": BASELINE_FITS_PER_HOUR_1CORE,
+            "baseline_joblib10_proxy": BASELINE_JOBLIB10_PROXY,
+        }
+        with open(REPO / "bench_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+
+        print(json.dumps({
+            "metric": "fits_per_hour",
+            "value": round(fits_per_hour, 2),
+            "unit": "fits/hour",
+            "vs_baseline": round(fits_per_hour / BASELINE_JOBLIB10_PROXY, 2),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

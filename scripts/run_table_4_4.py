@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Table 4.4 reproduction: STDK vs DA-STDK test CRPS across four observation
+scenarios (parity with the reference scripts/run_table_4_4.py:27-302).
+
+Protocol: dataset 2b-8 (falls back to 2a_8 when the 2b train file is absent —
+this snapshot of the competition data ships only 2b_*_test.csv, see
+SURVEY.md section 6), multi-quantile tau={.05,.25,.5,.75,.95}, obs_ratio 0.1,
+delta reparameterization forced ON with non_crossing_lambda default 1.0;
+scenarios {Fixed,Random} x {Uniform,Clustered}; models STDK (uniform grid,
+fixed) and DA-STDK (balanced k-means, learnable).
+"""
+import argparse
+import sys
+from datetime import datetime
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import yaml
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.train.runner import (aggregate_results, load_all_results,
+                                      run_multiple_experiments)
+from st_dadk_tpu.utils.io import save_json
+
+SCENARIOS = [
+    {"name": "Fixed_Uniform", "obs_method": "site-wise",
+     "obs_spatial_pattern": "uniform"},
+    {"name": "Fixed_Clustered", "obs_method": "site-wise",
+     "obs_spatial_pattern": "corner"},
+    {"name": "Random_Uniform", "obs_method": "random",
+     "obs_spatial_pattern": "uniform"},
+    {"name": "Random_Clustered", "obs_method": "random",
+     "obs_spatial_pattern": "corner"},
+]
+
+MODELS = [
+    {"name": "STDK", "spatial_init_method": "uniform",
+     "spatial_learnable": False},
+    {"name": "DA-STDK", "spatial_init_method": "kmeans_balanced",
+     "spatial_learnable": True},
+]
+
+
+def create_table_4_4_configs(base_config_path, da_stdk_init_method=None,
+                             non_crossing_lambda=None, data_file=None):
+    base = ExperimentConfig.from_yaml(base_config_path).to_dict()
+    base["regression_type"] = "multi-quantile"
+    base["quantile_levels"] = [0.05, 0.25, 0.5, 0.75, 0.95]
+    base["obs_ratio"] = 0.1
+    base["use_delta_reparameterization"] = True
+    base["non_crossing_lambda"] = (non_crossing_lambda
+                                   if non_crossing_lambda is not None
+                                   else base.get("non_crossing_lambda") or 1.0)
+    # dataset: thesis uses 2b_8; this snapshot has no 2b train files
+    if data_file:
+        base["data_file"] = data_file
+    else:
+        cand = ExperimentConfig.from_dict(
+            {**base, "data_file": "data/2b/2b_8.csv"}).resolve_data_file()
+        base["data_file"] = ("data/2b/2b_8.csv" if cand.exists()
+                             else "data/2a/2a_8.csv")
+
+    configs = []
+    for scenario in SCENARIOS:
+        for model in MODELS:
+            cfg = dict(base)
+            cfg["obs_method"] = scenario["obs_method"]
+            cfg["obs_spatial_pattern"] = scenario["obs_spatial_pattern"]
+            cfg["spatial_init_method"] = (
+                da_stdk_init_method or model["spatial_init_method"]
+                if model["name"] == "DA-STDK" else model["spatial_init_method"])
+            cfg["spatial_learnable"] = model["spatial_learnable"]
+            cfg["tag"] = f"table4.4_{scenario['name']}_{model['name']}"
+            configs.append((scenario["name"], model["name"], cfg))
+    return configs
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str,
+                        default="configs/config_st_interp.yaml")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--n_experiments", type=int, default=10)
+    parser.add_argument("--data_file", type=str, default=None)
+    parser.add_argument("--da_stdk_init_method", type=str, default=None,
+                        choices=[None, "kmeans_balanced", "gmm", "random_site"])
+    parser.add_argument("--non_crossing_lambda", type=float, default=None)
+    parser.add_argument("--engine", type=str, default="vmap",
+                        choices=["vmap", "sequential"])
+    parser.add_argument("--skip-existing", action="store_true")
+    args = parser.parse_args()
+
+    out = Path(args.output_dir or
+               f"results/{datetime.now().strftime('%Y%m%d_%H%M%S')}_table_4_4")
+    out.mkdir(parents=True, exist_ok=True)
+
+    configs = create_table_4_4_configs(args.config, args.da_stdk_init_method,
+                                       args.non_crossing_lambda,
+                                       args.data_file)
+    scenario_summaries = {}
+    for scenario_name, model_name, cfg in configs:
+        cfg["n_experiments"] = args.n_experiments
+        cdir = out / cfg["tag"]
+        cdir.mkdir(parents=True, exist_ok=True)
+        with open(cdir / "config.yaml", "w") as f:
+            yaml.dump(cfg, f, default_flow_style=False)
+        print(f"\n=== {scenario_name} / {model_name} "
+              f"({args.n_experiments} repeats) ===")
+        run_multiple_experiments(ExperimentConfig.from_dict(cfg), cdir,
+                                 skip_existing=args.skip_existing,
+                                 engine=args.engine)
+        results = load_all_results(cdir / "experiments", args.n_experiments)
+        crps = [r["test_crps"] for r in results if "test_crps" in r]
+        entry = {"scenario": scenario_name, "model": model_name,
+                 "n": len(crps),
+                 "test_crps_mean": float(np.mean(crps)) if crps else None,
+                 "test_crps_std": float(np.std(crps)) if crps else None}
+        scenario_summaries[f"{scenario_name}/{model_name}"] = entry
+        save_json(entry, cdir / "scenario_summary.json")
+        print(f"  test CRPS: {entry['test_crps_mean']:.4f} "
+              f"+/- {entry['test_crps_std']:.4f}" if crps else "  (no results)")
+
+    save_json(scenario_summaries, out / "table_4_4_summary.json")
+    print(f"\nTable 4.4 summary -> {out / 'table_4_4_summary.json'}")
+
+    # render the table
+    print(f"\n{'Scenario':<20} {'STDK':<20} {'DA-STDK':<20}")
+    for s in SCENARIOS:
+        row = [s["name"]]
+        for m in MODELS:
+            e = scenario_summaries.get(f"{s['name']}/{m['name']}")
+            row.append(f"{e['test_crps_mean']:.4f}+/-{e['test_crps_std']:.4f}"
+                       if e and e["test_crps_mean"] is not None else "-")
+        print(f"{row[0]:<20} {row[1]:<20} {row[2]:<20}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Grid-search engine: config generation, execution, CSV contract.
+
+Mirrors the reference's sweep harness (scripts/run_grid_search.py):
+  - cartesian-product config generation with an optional filter and the same
+    abbreviated tag synthesis (:22-99)
+  - per-config output dirs with config.yaml snapshots (:341-346)
+  - grid_search_summary.csv / grid_search_detail.csv /
+    grid_search_configs.{json,csv} schemas (:102-237)
+
+Execution replaces the reference's outer joblib pool over configs
+(:331-387) with, per config, a vmapped batch of experiment repeats on the
+device mesh (configs stream sequentially; each batch is one XLA program, so
+config k+1 reuses config k's compilation whenever shapes match).
+"""
+from __future__ import annotations
+
+import itertools
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import pandas as pd
+import yaml
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.train.runner import run_multiple_experiments
+
+_TAG_ABBREV = {
+    "spatial_basis_function": {"wendland": "wend", "gaussian": "gaus",
+                               "triangular": "tria"},
+    "spatial_init_method": {"uniform": "uni", "gmm": "gmm",
+                            "random_site": "rnd", "kmeans_balanced": "kmb"},
+}
+
+
+def _tag_part(param_name: str, param_value: Any) -> str:
+    if param_name in _TAG_ABBREV:
+        return _TAG_ABBREV[param_name].get(param_value, str(param_value))
+    if param_name == "spatial_learnable":
+        return "lrn" if param_value else "fix"
+    if param_name == "obs_method":
+        return "site" if param_value == "site-wise" else "rand"
+    if param_name == "obs_ratio":
+        return f"{int(param_value * 100)}"
+    if param_name == "obs_spatial_pattern":
+        return "cor" if param_value == "corner" else "unf"
+    return str(param_value)
+
+
+def generate_config_combinations(
+    base_config: Dict[str, Any],
+    param_grid: Dict[str, List[Any]],
+    filter_fn: Optional[Callable[[Dict[str, Any]], bool]] = None,
+) -> List[Dict[str, Any]]:
+    """Cartesian product of param_grid over base_config, filtered, with
+    abbreviated tags `configNNN_<parts>` numbered over kept configs only."""
+    param_names = list(param_grid.keys())
+    combinations = list(itertools.product(*param_grid.values()))
+
+    configs = []
+    counter = 0
+    for combo in combinations:
+        param_dict = dict(zip(param_names, combo))
+        if filter_fn is not None and not filter_fn(param_dict):
+            continue
+        counter += 1
+        config = dict(base_config)
+        config.update(param_dict)
+        tag_parts = [f"config{counter:03d}"]
+        tag_parts += [_tag_part(n, v) for n, v in zip(param_names, combo)]
+        config["tag"] = "_".join(tag_parts)
+        config["config_id"] = counter
+        configs.append(config)
+    return configs
+
+
+_SUMMARY_METRICS = ["test_rmse", "test_mae", "test_mse",
+                    "valid_rmse", "valid_mae", "valid_mse",
+                    "train_rmse", "train_mae", "train_mse",
+                    "test_crps", "valid_crps", "train_crps",
+                    "test_check_loss", "valid_check_loss", "train_check_loss",
+                    "total_time_seconds"]
+_CONFIG_COLS = ["spatial_basis_function", "spatial_init_method",
+                "spatial_learnable", "obs_method", "obs_ratio",
+                "obs_spatial_pattern"]
+
+
+def save_experiment_results(all_results: List[Optional[Dict[str, Any]]],
+                            output_dir: Path):
+    """Write the three grid-level CSV/JSON artifacts (ref :102-237)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    summary_records = []
+    detail_records: Dict[tuple, Dict[str, Any]] = {}
+    config_records, configs_dict = [], {}
+
+    for result in all_results:
+        if result is None:
+            continue
+        config = result["config"]
+        config_records.append({"config_id": config["config_id"],
+                               "tag": config["tag"]})
+        configs_dict[str(config["config_id"])] = config
+        summary = result.get("summary")
+        if summary is None:
+            continue
+
+        record = {"config_id": config["config_id"], "tag": config["tag"]}
+        for c in _CONFIG_COLS:
+            record[c] = config.get(c)
+        record["n_experiments"] = summary["n_experiments"]
+        for metric in _SUMMARY_METRICS:
+            if metric in summary["statistics"]:
+                stats = summary["statistics"][metric]
+                for s in ("mean", "std", "min", "max", "median"):
+                    record[f"{metric}_{s}"] = stats[s]
+        summary_records.append(record)
+
+        for metric in _SUMMARY_METRICS:
+            if metric not in summary["statistics"]:
+                continue
+            for exp_id, value in enumerate(
+                    summary["statistics"][metric]["values"], 1):
+                key = (config["config_id"], exp_id)
+                if key not in detail_records:
+                    rec = {"config_id": config["config_id"],
+                           "tag": config["tag"], "experiment_id": exp_id}
+                    for c in _CONFIG_COLS:
+                        rec[c] = config.get(c)
+                    detail_records[key] = rec
+                detail_records[key][metric] = value
+
+    df_summary = pd.DataFrame(summary_records)
+    df_summary.to_csv(output_dir / "grid_search_summary.csv", index=False)
+    df_detail = pd.DataFrame(list(detail_records.values()))
+    df_detail.to_csv(output_dir / "grid_search_detail.csv", index=False)
+    with open(output_dir / "grid_search_configs.json", "w",
+              encoding="utf-8") as f:
+        json.dump(configs_dict, f, indent=2, ensure_ascii=False, default=str)
+    pd.DataFrame(config_records).to_csv(
+        output_dir / "grid_search_configs.csv", index=False)
+    return df_summary, df_detail
+
+
+def run_grid_search(
+    base_config: Dict[str, Any],
+    param_grid: Dict[str, List[Any]],
+    output_dir: Path,
+    filter_fn: Optional[Callable[[Dict[str, Any]], bool]] = None,
+    engine: str = "vmap",
+    skip_existing: bool = False,
+    verbose: bool = False,
+) -> List[Dict[str, Any]]:
+    """Run the full grid; per config, experiments run as a vmapped batch."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    configs = generate_config_combinations(base_config, param_grid, filter_fn)
+    n_configs = len(configs)
+
+    all_results = []
+    for i, config in enumerate(configs, 1):
+        print(f"[{i}/{n_configs}] {config['tag']}")
+        config_dir = output_dir / config["tag"]
+        config_dir.mkdir(parents=True, exist_ok=True)
+        with open(config_dir / "config.yaml", "w") as f:
+            yaml.dump(config, f, default_flow_style=False)
+        try:
+            summary = run_multiple_experiments(
+                ExperimentConfig.from_dict(config), config_dir,
+                skip_existing=skip_existing, verbose=verbose, engine=engine)
+            all_results.append({"config": config, "summary": summary,
+                                "status": "success"})
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            all_results.append({"config": config, "summary": None,
+                                "status": "failed", "error": str(e)})
+
+    save_experiment_results(all_results, output_dir)
+    return all_results

@@ -88,12 +88,14 @@ def build_lr_tables(cfg: ExperimentConfig, batches_per_epoch: int
                 lr["mlp"] = initial["mlp"] * factor
                 lr["basis"] = initial["basis"] * factor
         recorded[e] = lr["mlp"]
-        # end-of-epoch scheduler step (ref :820-823); torch recursive form
+        # end-of-epoch scheduler step (ref :820-823); torch recursive form.
+        # the basis group only exists when the basis is learnable.
         if cosine and e >= warmup_epochs:
             t_sched += 1
             num = 1.0 + math.cos(math.pi * t_sched / T_max)
             den = 1.0 + math.cos(math.pi * (t_sched - 1) / T_max)
-            for g in ("mlp", "basis"):
+            groups = ("mlp", "basis") if learnable else ("mlp",)
+            for g in groups:
                 lr[g] = (lr[g] - eta_min) * (num / den) + eta_min
 
     return (mlp_tab.astype(np.float32), basis_tab.astype(np.float32),

@@ -6,7 +6,11 @@ its backends, hence before any jax import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the environment ships JAX_PLATFORMS=axon and a
+# sitecustomize that registers the TPU-tunnel backend; without both of these
+# the test suite silently dispatches every op through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

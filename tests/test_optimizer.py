@@ -52,8 +52,11 @@ class TestAdamW:
             lr_tree = jax.tree_util.tree_map(lambda _: jnp.asarray(lr), params)
             params, state = adamw_update(params, gj, state, lr_tree, wd)
 
-        assert np.allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=2e-6)
-        assert np.allclose(np.asarray(params["b"]), tb.detach().numpy(), atol=2e-6)
+        # f32 op-ordering differences (torch fuses addcdiv) accumulate ~1e-5
+        assert np.allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                           atol=5e-5, rtol=1e-4)
+        assert np.allclose(np.asarray(params["b"]), tb.detach().numpy(),
+                           atol=5e-5, rtol=1e-4)
 
 
 class TestClip:
