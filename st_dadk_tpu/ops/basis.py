@@ -82,7 +82,12 @@ def spatial_basis_embed(
     calibration = CALIBRATION_FACTORS[basis_function]
     dx = coords[:, 0:1] - centers[None, :, 0]    # (N, k)
     dy = coords[:, 1:2] - centers[None, :, 1]    # (N, k)
-    dist = jnp.sqrt(dx * dx + dy * dy)
+    d2 = dx * dx + dy * dy
+    # max-guard keeps sqrt's gradient finite when a (learnable) center lands
+    # exactly on a data point — d sqrt/d d2 is masked to 0 at d2 <= eps, so
+    # the coincident pair contributes zero gradient (torch.cdist's backward
+    # has the same guard; without it centers NaN on the first step).
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-24))
     r = dist / (bandwidths[None, :] * calibration)
     return apply_basis(r, basis_function)
 

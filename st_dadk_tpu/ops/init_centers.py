@@ -82,17 +82,24 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
     """
     n, d = X.shape
 
+    def pairwise_d2(means):
+        # explicit elementwise differences: the |x|^2+|c|^2-2xc matmul trick
+        # cancels catastrophically in TPU bf16 matmuls and can go NEGATIVE,
+        # which poisons log(var) downstream. O(n*k*d) elementwise is cheap at
+        # these sizes and always >= 0.
+        diff = X[:, None, :] - means[None, :, :]          # (n, k, d)
+        return jnp.sum(diff * diff, axis=-1)              # (n, k)
+
     def em_once(subkey):
         means0 = kmeans_plus_plus(subkey, X, k)
         var0 = jnp.var(X) * jnp.ones((k,)) + reg_covar
         weights0 = jnp.full((k,), 1.0 / k)
 
         def estep(means, var, weights):
-            # log N(x | mu_j, var_j I): (n, k)
-            d2 = (jnp.sum(X * X, 1)[:, None] - 2 * X @ means.T
-                  + jnp.sum(means * means, 1)[None])
+            d2 = pairwise_d2(means)
+            log_w = jnp.log(jnp.maximum(weights, 1e-30))
             log_prob = (-0.5 * (d2 / var[None] + d * jnp.log(2 * jnp.pi * var)[None])
-                        + jnp.log(weights)[None])
+                        + log_w[None])
             log_norm = jax.scipy.special.logsumexp(log_prob, axis=1)
             resp = jnp.exp(log_prob - log_norm[:, None])
             return resp, jnp.mean(log_norm)
@@ -102,9 +109,9 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
             resp, ll = estep(means, var, weights)
             nk = resp.sum(axis=0) + 1e-10
             means_new = (resp.T @ X) / nk[:, None]
-            d2 = (jnp.sum(X * X, 1)[:, None] - 2 * X @ means_new.T
-                  + jnp.sum(means_new * means_new, 1)[None])
-            var_new = (resp * d2).sum(axis=0) / (nk * d) + reg_covar
+            d2 = pairwise_d2(means_new)
+            var_new = (resp * d2).sum(axis=0) / (nk * d)
+            var_new = jnp.maximum(var_new, 0.0) + reg_covar
             weights_new = nk / n
             return (means_new, var_new, weights_new, ll), None
 
@@ -138,8 +145,8 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
     capacity = n / k
 
     def assign_balanced(centers):
-        d2 = (jnp.sum(X * X, 1)[:, None] - 2 * X @ centers.T
-              + jnp.sum(centers * centers, 1)[None])         # (n, k)
+        diff = X[:, None, :] - centers[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)                   # (n, k) — >= 0
         scale = jnp.mean(d2)
 
         def sweep(carry, _):
