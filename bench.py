@@ -21,6 +21,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -29,6 +30,12 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+# persistent compilation cache: the vmapped whole-fit program is large and
+# the remote-compile tunnel is slow; steady-state throughput (what a grid
+# search sees) reuses the compiled program.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FITS_PER_HOUR_1CORE = 35.0
 BASELINE_JOBLIB10_PROXY = BASELINE_FITS_PER_HOUR_1CORE * 10.0

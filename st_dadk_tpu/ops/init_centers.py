@@ -130,49 +130,59 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
 # Balanced k-means (jittable, vmappable)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
-                    max_iter: int = 100) -> jax.Array:
-    """Capacity-penalized Lloyd iterations approximating size-constrained
-    k-means (each cluster ~n/k points). Returns centers (k, 2).
+                    max_iter: int = 50, sinkhorn_iters: int = 40,
+                    eps_scale: float = 0.02, n_init: int = 3) -> jax.Array:
+    """Balanced k-means via Sinkhorn optimal transport. Returns centers (k, 2).
 
-    Assignment augments squared distance with a per-cluster occupancy penalty
-    recomputed in a few inner sweeps — a standard same-size-k-means heuristic
-    that avoids the reference's exact min-cost-flow solve while keeping the
-    equal-coverage property that makes the init density-adaptive.
+    Each Lloyd iteration solves an entropically regularized OT problem
+    between points (mass 1/n each) and clusters (capacity 1/k each) in the
+    log domain, then updates centers as transport-weighted means. Cluster
+    masses are exactly balanced by construction — the same equal-coverage
+    property as the reference's min-cost-flow KMeansConstrained
+    (st_interp.py:340-431), without a combinatorial solver. `n_init`
+    k-means++-seeded restarts keep the best final transport cost, mirroring
+    the reference's n_init=3 (st_interp.py:387-394).
     """
     n = X.shape[0]
-    capacity = n / k
+    log_a = -jnp.log(float(n))          # per-point mass 1/n
+    log_b = -jnp.log(float(k))          # per-cluster capacity 1/k
 
-    def assign_balanced(centers):
+    def pairwise(centers):
         diff = X[:, None, :] - centers[None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)                   # (n, k) — >= 0
-        scale = jnp.mean(d2)
+        return jnp.sum(diff * diff, axis=-1)                 # (n, k) >= 0
 
-        def sweep(carry, _):
-            penalty = carry
-            a = jnp.argmin(d2 + penalty[None], axis=1)
-            counts = jnp.zeros((k,)).at[a].add(1.0)
-            over = (counts - capacity) / capacity
-            penalty = penalty + 0.5 * scale * over
-            return penalty, a
+    def ot_plan(d2):
+        eps = eps_scale * jnp.mean(d2) + 1e-9
 
-        penalty0 = jnp.zeros((k,))
-        penalty, assigns = jax.lax.scan(sweep, penalty0, None, length=8)
-        return assigns[-1]
+        def sink(carry, _):
+            f, g = carry
+            f = eps * (log_a - jax.scipy.special.logsumexp(
+                (g[None, :] - d2) / eps, axis=1))
+            g = eps * (log_b - jax.scipy.special.logsumexp(
+                (f[:, None] - d2) / eps, axis=0))
+            return (f, g), None
 
-    def body(centers, _):
-        a = assign_balanced(centers)
-        one_hot = jax.nn.one_hot(a, k)                        # (n, k)
-        counts = one_hot.sum(axis=0) + 1e-10
-        new_centers = (one_hot.T @ X) / counts[:, None]
-        # keep empty clusters where they were
-        new_centers = jnp.where((counts > 0.5)[:, None], new_centers, centers)
-        return new_centers, None
+        (f, g), _ = jax.lax.scan(sink, (jnp.zeros(n), jnp.zeros(k)),
+                                 None, length=sinkhorn_iters)
+        return jnp.exp((f[:, None] + g[None, :] - d2) / eps)  # (n, k)
 
-    centers0 = kmeans_plus_plus(key, X, k)
-    centers, _ = jax.lax.scan(body, centers0, None, length=max_iter)
-    return centers
+    def fit_once(subkey):
+        def body(centers, _):
+            P = ot_plan(pairwise(centers))
+            mass = P.sum(axis=0) + 1e-12                      # ~1/k each
+            return (P.T @ X) / mass[:, None], None
+
+        centers0 = kmeans_plus_plus(subkey, X, k)
+        centers, _ = jax.lax.scan(body, centers0, None, length=max_iter)
+        d2 = pairwise(centers)
+        cost = jnp.sum(ot_plan(d2) * d2)
+        return centers, cost
+
+    keys = jax.random.split(key, n_init)
+    centers_all, costs = jax.vmap(fit_once)(keys)
+    return centers_all[jnp.argmin(costs)]
 
 
 # ---------------------------------------------------------------------------
