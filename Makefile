@@ -1,0 +1,62 @@
+# TPU-native ST-DADK framework — developer entry points
+# (role parity with the reference Makefile:49-94)
+
+PYTHON ?= python
+CPU_ENV = JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu
+
+.PHONY: help install test test-cov test-tpu lint train grid-search table44 \
+        analyze bench dryrun native clean
+
+help:
+	@echo "make install      - editable install"
+	@echo "make test         - run the test suite on a virtual 8-device CPU mesh"
+	@echo "make test-cov     - tests with coverage"
+	@echo "make test-tpu     - run the suite on the real TPU backend"
+	@echo "make train        - multi-experiment training run (default config)"
+	@echo "make grid-search  - full grid search (vmapped experiment batches)"
+	@echo "make table44      - Table 4.4 reproduction (STDK vs DA-STDK CRPS)"
+	@echo "make analyze      - analyze the latest grid-search results"
+	@echo "make bench        - fits/hour benchmark vs the CPU reference baseline"
+	@echo "make dryrun       - multichip sharding dry-run on 8 virtual devices"
+	@echo "make native       - build the C++ ingest extension"
+
+install:
+	pip install -e .
+
+test:
+	$(PYTHON) -m pytest tests/ -x -q
+
+test-cov:
+	$(PYTHON) -m pytest tests/ --cov=st_dadk_tpu --cov-report=term-missing
+
+test-tpu:
+	ST_DADK_TEST_TPU=1 $(PYTHON) -m pytest tests/ -x -q
+
+lint:
+	$(PYTHON) -m py_compile $$(git ls-files '*.py')
+
+train:
+	$(PYTHON) scripts/train_st_interp.py --config configs/config_st_interp.yaml
+
+grid-search:
+	$(PYTHON) scripts/run_grid_search.py --config configs/config_st_interp.yaml
+
+table44:
+	$(PYTHON) scripts/run_table_4_4.py --n_experiments 10
+
+analyze:
+	$(PYTHON) scripts/analyze_grid_search.py
+
+bench:
+	$(PYTHON) bench.py
+
+dryrun:
+	$(CPU_ENV) XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	$(PYTHON) __graft_entry__.py 8
+
+native:
+	$(MAKE) -C native
+
+clean:
+	rm -rf build dist *.egg-info .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -47,31 +47,47 @@ def load_kaust_csv_single(
         z_data: (T, S) float32 dense matrix (NaN where unobserved)
         coords: (S, 2) float32, already in [0,1]^2
         metadata: dict with normalization stats etc.
+
+    Uses the native C++ one-pass ingest when built (native/ingest.cpp);
+    otherwise the vectorized pandas path. Both produce identical outputs.
     """
-    df = pd.read_csv(data_path)
-    df.columns = [c.strip().strip('"') for c in df.columns]
-    if verbose:
-        print(f"[INFO] Loaded data: {len(df)} rows")
+    from st_dadk_tpu.dataio.native import load_csv_native
 
-    codes, coords, site_to_idx = _site_index(df)
-    S = coords.shape[0]
-    if verbose:
-        print(f"[INFO] Total sites: {S}")
-
-    if "t" in df.columns:
-        t_vals = df["t"].to_numpy()
-        T = int(t_vals.max())
-        t_idx = t_vals.astype(np.int64) - 1
+    native = load_csv_native(data_path)
+    if native is not None:
+        z_data, coords, n_rows = native
+        T, S = z_data.shape
+        site_to_idx = {(float(x), float(y)): i
+                       for i, (x, y) in enumerate(coords)}
         if verbose:
+            print(f"[INFO] Loaded data: {n_rows} rows (native)")
+            print(f"[INFO] Total sites: {S}")
             print(f"[INFO] Time range: 1 ~ {T}")
     else:
-        # spatial-only dataset (1a/3a families) — single time slice
-        T = 1
-        t_idx = np.zeros(len(df), dtype=np.int64)
+        df = pd.read_csv(data_path)
+        df.columns = [c.strip().strip('"') for c in df.columns]
+        if verbose:
+            print(f"[INFO] Loaded data: {len(df)} rows")
 
-    z_data = np.full((T, S), np.nan, dtype=np.float32)
-    if "z" in df.columns:
-        z_data[t_idx, codes] = df["z"].to_numpy(dtype=np.float32)
+        codes, coords, site_to_idx = _site_index(df)
+        S = coords.shape[0]
+        if verbose:
+            print(f"[INFO] Total sites: {S}")
+
+        if "t" in df.columns:
+            t_vals = df["t"].to_numpy()
+            T = int(t_vals.max())
+            t_idx = t_vals.astype(np.int64) - 1
+            if verbose:
+                print(f"[INFO] Time range: 1 ~ {T}")
+        else:
+            # spatial-only dataset (1a/3a families) — single time slice
+            T = 1
+            t_idx = np.zeros(len(df), dtype=np.int64)
+
+        z_data = np.full((T, S), np.nan, dtype=np.float32)
+        if "z" in df.columns:
+            z_data[t_idx, codes] = df["z"].to_numpy(dtype=np.float32)
 
     metadata: Dict = {"S": S, "T": T, "site_to_idx": site_to_idx}
     if normalize:

@@ -74,7 +74,9 @@ def run_experiment_batch(
         return []
 
     # -- per-lane setup on host (seed-exact masks, data-adaptive inits) ------
+    t_phase = time.time()
     setups = [ExperimentSetup(cfg, i, verbose=False) for i in todo]
+    t_setup = time.time() - t_phase
     spec_model = setups[0].spec
 
     batch_size = adaptive_batch_size(
@@ -149,9 +151,12 @@ def run_experiment_batch(
                  for k in hists[0]}
     carry_host = jax.tree_util.tree_map(np.asarray, carry_b)
     wall = time.time() - t_start
+    t_train = time.time() - t_phase
     if verbose:
         print(f"[batch] {M} experiments x {epochs_done} epochs in "
-              f"{wall:.1f}s on {n_dev} device(s)")
+              f"{wall:.1f}s on {n_dev} device(s) "
+              f"(setup {t_setup:.1f}s, train {t_train - t_setup:.1f}s)")
+    t_phase = time.time()
 
     # -- per-lane finalize ------------------------------------------------------
     results = []
@@ -163,7 +168,9 @@ def run_experiment_batch(
                                              lr_recorded, epochs_done)
         out_dir = experiments_dir / str(s.experiment_id)
         r = finalize_experiment(cfg, s, fit_res, out_dir, per_lane_time,
-                                verbose=verbose)
+                                verbose=False)
         r.pop("_split_predictions", None)
         results.append(r)
+    if verbose:
+        print(f"[batch] finalize (eval+artifacts) {time.time() - t_phase:.1f}s")
     return results
