@@ -216,6 +216,94 @@ def _subsample(train_coords: np.ndarray, rng_np: bool = True) -> np.ndarray:
 # Top-level dispatcher
 # ---------------------------------------------------------------------------
 
+_BATCH_FIT_CACHE = {}
+
+
+def _batched_gmm(k: int):
+    key = ("gmm", k)
+    fn = _BATCH_FIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(lambda kk, X: gmm_spherical(kk, X, k)))
+        _BATCH_FIT_CACHE[key] = fn
+    return fn
+
+
+def _batched_bkm(k: int):
+    key = ("bkm", k)
+    fn = _BATCH_FIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(lambda kk, X: balanced_kmeans(kk, X, k)))
+        _BATCH_FIT_CACHE[key] = fn
+    return fn
+
+
+def init_spatial_centers_batch(
+    method: str,
+    n_centers: Sequence[int],
+    train_coords_list: list,
+    keys: jax.Array,
+) -> list:
+    """Data-adaptive initialization for a whole experiment batch at once.
+
+    One vmapped device program per resolution instead of 3 dispatches per
+    lane. Lanes are subsampled to a common size (min over lanes, capped at
+    MAX_INIT_SAMPLES) so the clustering shapes match. Returns a list of
+    (centers, bandwidths) numpy pairs, one per lane.
+    """
+    M = len(train_coords_list)
+    if method == "uniform":
+        c, bw = uniform_grid_centers(n_centers)
+        return [(c, bw)] * M
+    if method == "random_site":
+        # cheap per-lane numpy; no device work to batch. Seed the global
+        # numpy RNG per lane so batch results are order-independent.
+        out = []
+        for i, tc in enumerate(train_coords_list):
+            np.random.seed(int(np.asarray(
+                jax.random.key_data(keys[i])).ravel()[-1]) % (2 ** 31))
+            out.append(init_spatial_centers(method, n_centers, tc,
+                                            key=keys[i]))
+        return out
+
+    n_sub = min(min(len(tc) for tc in train_coords_list), MAX_INIT_SAMPLES)
+    Xs = []
+    for i, tc in enumerate(train_coords_list):
+        if len(tc) > n_sub:
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(keys[i]))[-1])
+            tc = tc[rng.choice(len(tc), n_sub, replace=False)]
+        Xs.append(tc.astype(np.float32))
+    X_b = jnp.asarray(np.stack(Xs))
+
+    per_lane = [[] for _ in range(M)]
+    for res_i, k in enumerate(n_centers):
+        k = int(k)
+        sub_keys = jax.vmap(lambda kk: jax.random.fold_in(
+            kk, res_i if method == "gmm" else 100 + res_i))(keys)
+        if method == "gmm":
+            means_b, sig_b = _batched_gmm(k)(sub_keys, X_b)
+            means_b = np.asarray(means_b, np.float32)
+            bw_min = 0.25 * uniform_bandwidth_for(k)
+            for i in range(M):
+                bw = np.clip(4.23 * 2.5 * np.asarray(sig_b[i]),
+                             bw_min, np.inf).astype(np.float32)
+                per_lane[i].append((means_b[i], bw))
+        elif method == "kmeans_balanced":
+            centers_b = np.asarray(_batched_bkm(k)(sub_keys, X_b), np.float32)
+            for i in range(M):
+                bw = _nn_bandwidths(centers_b[i])
+                if k == 1:
+                    bw = np.array([uniform_bandwidth_for(int(n_centers[0]))],
+                                  np.float32)
+                per_lane[i].append((centers_b[i], bw))
+        else:
+            raise ValueError(f"Unknown init_method: {method}")
+
+    return [(np.concatenate([c for c, _ in lane], axis=0),
+             np.concatenate([b for _, b in lane], axis=0))
+            for lane in per_lane]
+
+
 def init_spatial_centers(
     method: str,
     n_centers: Sequence[int],

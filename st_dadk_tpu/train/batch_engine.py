@@ -32,7 +32,8 @@ from st_dadk_tpu.train.loop import (
     adaptive_batch_size,
     assemble_result,
     init_carry,
-    make_epoch_scan,
+    jitted_fit_chunk,
+    prepare_carry_batch,
     prepare_train_data,
 )
 from st_dadk_tpu.train.optimizer import build_lr_tables
@@ -73,9 +74,21 @@ def run_experiment_batch(
     if not todo:
         return []
 
-    # -- per-lane setup on host (seed-exact masks, data-adaptive inits) ------
+    # -- per-lane setup on host (seed-exact masks) + batched model init ------
     t_phase = time.time()
-    setups = [ExperimentSetup(cfg, i, verbose=False) for i in todo]
+    setups = [ExperimentSetup(cfg, i, verbose=False, defer_model=True)
+              for i in todo]
+    keys = jnp.stack([jax.random.PRNGKey(s.experiment_seed) for s in setups])
+    needs_coords = cfg.spatial_init_method in ("gmm", "random_site",
+                                               "kmeans_balanced")
+    coords_list = [s.train_ps.coords if needs_coords else None
+                   for s in setups]
+    from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
+    inits = init_spatial_centers_batch(cfg.spatial_init_method,
+                                       cfg.k_spatial_centers,
+                                       coords_list, keys)
+    centers_b = jnp.asarray(np.stack([c for c, _ in inits]))
+    bw_b = jnp.asarray(np.stack([b for _, b in inits]))
     t_setup = time.time() - t_phase
     spec_model = setups[0].spec
 
@@ -88,18 +101,27 @@ def run_experiment_batch(
     n_val_chunks = max(1, -(-max_val // val_chunk))
     cap_va = n_val_chunks * val_chunk
 
-    datas, carries = [], []
+    datas = []
     for s in setups:
         data, _, _ = prepare_train_data(s.train_ps, s.valid_ps, batch_size,
                                         val_chunk=val_chunk, cap_tr=cap_tr,
                                         cap_va=cap_va)
         datas.append(data)
-        carries.append(init_carry(s.params,
-                                  jax.random.PRNGKey(s.experiment_seed)))
 
-    data_b = _stack(datas)
-    carry_b = _stack(carries)
-    consts_b = _stack([s.consts for s in setups])
+    # lanes stacked on host (numpy), shipped with one transfer; model init +
+    # carry construction is ONE jitted program (see loop.prepare_carry_batch)
+    data_b = jax.tree_util.tree_map(lambda *xs: jnp.asarray(np.stack(xs)),
+                                    *datas)
+    carry_b, consts_b = prepare_carry_batch(spec_model, len(setups))(
+        keys, centers_b, bw_b)
+    # per-lane consts/param-count for finalize, materialized on host in one
+    # pull (per-lane device slicing would compile one tiny program per index)
+    n_params = int(sum(np.prod(l.shape[1:]) for l in
+                       jax.tree_util.tree_leaves(carry_b["params"])))
+    consts_host = jax.tree_util.tree_map(np.asarray, consts_b)
+    for i, s in enumerate(setups):
+        s.consts = jax.tree_util.tree_map(lambda x, i=i: x[i], consts_host)
+        s.n_params = n_params
 
     spec = LoopSpec.from_config(cfg, spec_model, batch_size, B_shared,
                                 val_chunk, n_val_chunks)
@@ -121,9 +143,7 @@ def run_experiment_batch(
     shard = lambda t: jax.device_put(t, lane_sharding)
     data_b, carry_b, consts_b = shard(data_b), shard(carry_b), shard(consts_b)
 
-    fit_chunk = jax.jit(
-        jax.vmap(make_epoch_scan(spec), in_axes=(0, 0, 0, None, None, None)),
-        donate_argnums=(0,))
+    fit_chunk = jitted_fit_chunk(spec, vmapped=True)
 
     # -- chunked epoch loop (early exit when every lane has stopped) ----------
     E = cfg.epochs

@@ -221,7 +221,7 @@ class ExperimentSetup:
     the reference; see module docstring)."""
 
     def __init__(self, cfg: ExperimentConfig, experiment_id: int,
-                 verbose: bool = False):
+                 verbose: bool = False, defer_model: bool = False):
         self.experiment_id = experiment_id
         self.experiment_seed = cfg.base_seed + experiment_id - 1
         np.random.seed(self.experiment_seed)
@@ -247,14 +247,21 @@ class ExperimentSetup:
         self.test_ps = pointset_from_mask(self.z_full, self.coords,
                                           self.test_mask)
 
-        train_coords = None
-        if cfg.spatial_init_method in ("gmm", "random_site", "kmeans_balanced"):
-            train_coords = self.train_ps.coords
-        centers, bandwidths = init_spatial_centers(
-            cfg.spatial_init_method, cfg.k_spatial_centers, train_coords,
-            key=jax.random.PRNGKey(self.experiment_seed))
-
         self.spec = spec_from_config(cfg, use_pallas=_pallas_available(cfg))
+        self.params = None
+        self.consts = None
+        if not defer_model:
+            train_coords = None
+            if cfg.spatial_init_method in ("gmm", "random_site",
+                                           "kmeans_balanced"):
+                train_coords = self.train_ps.coords
+            centers, bandwidths = init_spatial_centers(
+                cfg.spatial_init_method, cfg.k_spatial_centers, train_coords,
+                key=jax.random.PRNGKey(self.experiment_seed))
+            self.finish_model(centers, bandwidths)
+
+    def finish_model(self, centers, bandwidths) -> None:
+        """Instantiate params/consts from (possibly batch-computed) centers."""
         self.params, self.consts = init_model(
             jax.random.PRNGKey(self.experiment_seed), self.spec,
             centers, bandwidths)
@@ -311,7 +318,9 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
     obs_mask = setup.obs_mask
     init_centers_np = np.asarray(consts["spatial_centers_init"])
     init_bw_np = np.asarray(consts["spatial_bandwidths_init"])
-    n_params = count_parameters(setup.params)
+    n_params = getattr(setup, "n_params", None)
+    if n_params is None:
+        n_params = count_parameters(setup.params)
 
     history = {
         "train_loss": result.history["train_loss"].tolist(),

@@ -360,17 +360,86 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     return new_carry, hist
 
 
+_EPOCH_SCAN_CACHE: Dict[Any, Any] = {}
+_JIT_CACHE: Dict[Any, Any] = {}
+
+
 def make_epoch_scan(spec: LoopSpec):
-    """Build fit_chunk(carry, consts, data, epoch_ids, lr_chunk) scanning a
-    block of epochs. Pure; jit/vmap-friendly."""
+    """Build fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active)
+    scanning a block of epochs. Pure; jit/vmap-friendly.
 
-    def fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active):
-        def body(c, xs):
-            return _run_epoch(spec, consts, data, c, xs)
-        carry, hist = jax.lax.scan(body, carry, (epoch_ids, lr_chunk, active))
-        return carry, hist
+    Cached by spec: jit executables are keyed on function identity, so a
+    fresh closure per call would force a full recompile of the whole-fit
+    program on every batch (tens of seconds through the remote-compile
+    tunnel vs <1s to run it)."""
+    fn = _EPOCH_SCAN_CACHE.get(spec)
+    if fn is None:
+        def fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active):
+            def body(c, xs):
+                return _run_epoch(spec, consts, data, c, xs)
+            carry, hist = jax.lax.scan(body, carry,
+                                       (epoch_ids, lr_chunk, active))
+            return carry, hist
+        fn = fit_chunk
+        _EPOCH_SCAN_CACHE[spec] = fn
+    return fn
 
-    return fit_chunk
+
+def jitted_fit_chunk(spec: LoopSpec, vmapped: bool):
+    """Process-cached jitted (optionally vmapped) whole-fit chunk program."""
+    key = (spec, vmapped)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        base = make_epoch_scan(spec)
+        if vmapped:
+            base = jax.vmap(base, in_axes=(0, 0, 0, None, None, None))
+        fn = jax.jit(base, donate_argnums=(0,))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+_PREPARE_CACHE: Dict[Any, Any] = {}
+
+
+def prepare_carry_batch(spec_model: ModelSpec, M: int):
+    """Cached jitted program building (carry_b, consts_b) for M lanes from
+    (keys (M,), centers_b (M,k,2), bandwidths_b (M,k)) in ONE dispatch.
+
+    Consolidating per-lane init_model + stacking into a single program
+    matters on this setup: every distinct eager op/shape is remote-compiled
+    through the TPU tunnel, so a Python loop of small per-lane inits costs
+    seconds per lane in a fresh process."""
+    from st_dadk_tpu.models.st_interp import init_model
+
+    key = (spec_model, M)
+    fn = _PREPARE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def build(keys, centers_b, bw_b):
+        def one(k, c, b):
+            return init_model(k, spec_model, c, b)
+        params_b, consts_b = jax.vmap(one)(keys, centers_b, bw_b)
+        copy = lambda t: jax.tree_util.tree_map(lambda x: x + 0, t)
+        opt_state = adamw_init(params_b)
+        opt_state["step"] = jnp.zeros((M,), jnp.int32)  # per-lane step count
+        carry_b = {
+            "params": params_b,
+            "opt_state": opt_state,
+            "ema": copy(params_b),
+            "best_ema": copy(params_b),
+            "best_val": jnp.full((M,), jnp.inf, jnp.float32),
+            "has_best": jnp.zeros((M,), bool),
+            "patience_ctr": jnp.zeros((M,), jnp.int32),
+            "stopped": jnp.zeros((M,), bool),
+            "stop_epoch": jnp.zeros((M,), jnp.int32),
+            "key": keys,
+        }
+        return carry_b, consts_b
+
+    fn = jax.jit(build)
+    _PREPARE_CACHE[key] = fn
+    return fn
 
 
 def init_carry(params: Params, key: jax.Array) -> Dict[str, Any]:
@@ -435,13 +504,13 @@ def prepare_train_data(train_ps: PointSet, valid_ps: PointSet,
     va = pad_pointset(valid_ps, cap_va)
 
     ema_decay = 1.0 - 1.0 / (10.0 * B_lane)
+    # host (numpy) arrays: lanes are stacked with np.stack and shipped with
+    # ONE device_put — per-leaf eager device ops are expensive on this setup
     data = TrainData(
-        tr_coords=jnp.asarray(tr.coords), tr_t=jnp.asarray(tr.t),
-        tr_y=jnp.asarray(tr.y), tr_w=jnp.asarray(tr.w),
-        va_coords=jnp.asarray(va.coords), va_t=jnp.asarray(va.t),
-        va_y=jnp.asarray(va.y), va_w=jnp.asarray(va.w),
-        n_batches=jnp.asarray(B_lane, jnp.int32),
-        ema_decay=jnp.asarray(ema_decay, jnp.float32),
+        tr_coords=tr.coords, tr_t=tr.t, tr_y=tr.y, tr_w=tr.w,
+        va_coords=va.coords, va_t=va.t, va_y=va.y, va_w=va.w,
+        n_batches=np.asarray(B_lane, np.int32),
+        ema_decay=np.asarray(ema_decay, np.float32),
     )
     return data, B_lane, vchunk
 
@@ -460,7 +529,7 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
     lr_mlp, lr_basis, lr_recorded = build_lr_tables(cfg, B)
     lr_steps = np.stack([lr_mlp, lr_basis], axis=-1).reshape(cfg.epochs, B, 2)
 
-    fit_chunk = jax.jit(make_epoch_scan(spec), donate_argnums=(0,))
+    fit_chunk = jitted_fit_chunk(spec, vmapped=False)
     carry = init_carry(params, jax.random.PRNGKey(seed))
 
     E = cfg.epochs

@@ -13,8 +13,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in _flags:
+    # XLA-CPU fast-math exp/log approximations cost ~1e-5 relative error,
+    # which breaks tight numeric parity assertions; the TPU path is unaffected
+    _flags = (_flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = _flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")

@@ -1,0 +1,116 @@
+"""Batch-engine integration tests on the virtual 8-device CPU mesh: vmapped
+lanes sharded over 'exp' must produce per-lane results equivalent to
+sequential single fits, and the results contract must appear on disk."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.train.batch_engine import run_experiment_batch
+from st_dadk_tpu.train.experiment import run_single_experiment
+from st_dadk_tpu.train.runner import run_multiple_experiments
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        tag="batchtest",
+        data_file=str(tmp_path / "toy.csv"),
+        k_spatial_centers=[9], k_temporal_centers=[4],
+        hidden_dims=[16, 8], dropout=0.0, epochs=8, lr=5e-3,
+        batch_size=64, patience=50, warmup_epochs=1, scheduler="cosine",
+        grad_clip=10.0, regression_type="mean",
+        obs_method="site-wise", obs_ratio=0.5, obs_spatial_pattern="uniform",
+        split_method="random", train_ratio=0.8,
+        n_experiments=4, base_seed=100, use_pallas=False,
+        save_plots=False, save_artifacts=True,
+    )
+    base.update(kw)
+    return ExperimentConfig.from_dict(base)
+
+
+@pytest.fixture
+def toy_csv(tmp_path):
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(size=(40, 2)).round(5)
+    lines = ["x,y,t,z"]
+    for t in range(1, 13):
+        for s in range(40):
+            z = np.sin(3 * coords[s, 0]) + 0.1 * t / 12 + rng.normal(0, 0.05)
+            lines.append(f"{coords[s,0]},{coords[s,1]},{t},{z:.6f}")
+    (tmp_path / "toy.csv").write_text("\n".join(lines))
+    return tmp_path
+
+
+class TestBatchEngine:
+    def test_runs_and_writes_contract(self, toy_csv, tmp_path):
+        cfg = _cfg(toy_csv)
+        exp_dir = tmp_path / "experiments"
+        results = run_experiment_batch(cfg, [1, 2, 3, 4], exp_dir,
+                                       epochs_chunk=8)
+        assert len(results) == 4
+        for i in (1, 2, 3, 4):
+            d = exp_dir / str(i)
+            assert (d / "results.json").exists()
+            assert (d / "training_history.csv").exists()
+            assert (d / "predictions.npz").exists()
+            assert (d / "basis_info.npz").exists()
+            with open(d / "results.json") as f:
+                r = json.load(f)
+            assert np.isfinite(r["test_rmse"])
+            assert len(r["training_history"]["train_loss"]) == 8
+            assert r["experiment_seed"] == 100 + i - 1
+
+    def test_lanes_differ_by_seed(self, toy_csv, tmp_path):
+        cfg = _cfg(toy_csv)
+        results = run_experiment_batch(cfg, [1, 2], tmp_path / "e",
+                                       epochs_chunk=8)
+        # different seeds -> different masks/inits -> different metrics
+        assert results[0]["test_rmse"] != results[1]["test_rmse"]
+
+    def test_matches_sequential_engine_closely(self, toy_csv, tmp_path):
+        """vmapped lane vs a standalone fit with the same seed: identical
+        masks and init; training differs only in masked-step arithmetic, so
+        final metrics agree closely."""
+        cfg = _cfg(toy_csv, n_experiments=1)
+        r_seq = run_single_experiment(cfg, 1, tmp_path / "seq", verbose=False)
+        r_bat = run_experiment_batch(cfg, [1], tmp_path / "bat",
+                                     epochs_chunk=8)[0]
+        assert np.isclose(r_seq["test_rmse"], r_bat["test_rmse"], rtol=0.05)
+        assert r_seq["experiment_seed"] == r_bat["experiment_seed"]
+
+    def test_runner_vmap_engine_and_aggregation(self, toy_csv, tmp_path):
+        cfg = _cfg(toy_csv)
+        out = tmp_path / "run"
+        summary = run_multiple_experiments(cfg, out, engine="vmap")
+        assert summary["n_experiments"] == 4
+        assert (out / "summary" / "summary_statistics.json").exists()
+        assert (out / "summary" / "all_experiments.csv").exists()
+        stats = summary["statistics"]["test_rmse"]
+        assert len(stats["values"]) == 4
+        assert stats["min"] <= stats["mean"] <= stats["max"]
+
+    def test_skip_existing(self, toy_csv, tmp_path):
+        cfg = _cfg(toy_csv, n_experiments=2)
+        out = tmp_path / "sk"
+        run_experiment_batch(cfg, [1, 2], out, epochs_chunk=8)
+        t0 = (out / "1" / "results.json").stat().st_mtime
+        res = run_experiment_batch(cfg, [1, 2], out, skip_existing=True,
+                                   epochs_chunk=8)
+        assert res == []
+        assert (out / "1" / "results.json").stat().st_mtime == t0
+
+
+class TestMultiQuantileBatch:
+    def test_delta_head_lanes(self, toy_csv, tmp_path):
+        cfg = _cfg(toy_csv, regression_type="multi-quantile",
+                   quantile_levels=[0.05, 0.25, 0.5, 0.75, 0.95],
+                   use_delta_reparameterization=True, non_crossing_lambda=1.0,
+                   spatial_learnable=True, spatial_init_method="gmm",
+                   gradient_damping=True, n_experiments=2)
+        results = run_experiment_batch(cfg, [1, 2], tmp_path / "mq",
+                                       epochs_chunk=8)
+        for r in results:
+            assert "test_crps" in r and np.isfinite(r["test_crps"])
+            assert r["quantile_levels"] == [0.05, 0.25, 0.5, 0.75, 0.95]
