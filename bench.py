@@ -51,7 +51,7 @@ def main() -> None:
     from st_dadk_tpu.config import ExperimentConfig
     from st_dadk_tpu.train.batch_engine import run_experiment_batch
 
-    M = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    M = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
     base = dict(
         tag="bench",
