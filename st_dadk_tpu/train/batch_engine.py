@@ -187,8 +187,10 @@ def run_experiment_batch(
         fit_res: FitResult = assemble_result(spec, lane_carry, lane_hist,
                                              lr_recorded, epochs_done)
         out_dir = experiments_dir / str(s.experiment_id)
-        r = finalize_experiment(cfg, s, fit_res, out_dir, per_lane_time,
-                                verbose=False)
+        r = finalize_experiment(
+            cfg, s, fit_res, out_dir, per_lane_time, verbose=False,
+            stage_timings={"setup_seconds": t_setup / M,
+                           "train_seconds": (t_train - t_setup) / M})
         r.pop("_split_predictions", None)
         results.append(r)
     if verbose:

@@ -286,25 +286,32 @@ def _run_one_fit(cfg: ExperimentConfig, experiment_id: int, output_dir: Path,
     """One fit end-to-end (ref _run_single_quantile_experiment :2164-2633)."""
     start_time = time.time()
     setup = ExperimentSetup(cfg, experiment_id, verbose)
+    t_setup = time.time() - start_time
     if verbose:
         print(f"[EXP {experiment_id}] seed={setup.experiment_seed} "
               f"data={cfg.data_file} type={cfg.regression_type} "
               f"train/valid/test: {setup.train_ps.n_real}/"
               f"{setup.valid_ps.n_real}/{setup.test_ps.n_real}")
 
+    t0 = time.time()
     result: FitResult = fit(cfg, setup.spec, setup.params, setup.consts,
                             setup.train_ps, setup.valid_ps,
                             seed=setup.experiment_seed, verbose=verbose)
+    t_train = time.time() - t0
     total_time = time.time() - start_time
     return finalize_experiment(cfg, setup, result, output_dir, total_time,
-                               verbose=verbose)
+                               verbose=verbose,
+                               stage_timings={"setup_seconds": t_setup,
+                                              "train_seconds": t_train})
 
 
 def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                         result: FitResult, output_dir: Path,
-                        total_time: float, verbose: bool = False
+                        total_time: float, verbose: bool = False,
+                        stage_timings: Optional[Dict[str, float]] = None
                         ) -> Dict[str, Any]:
     """Evaluation + results.json + artifacts + plots for one completed fit."""
+    t_eval_start = time.time()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     experiment_id = setup.experiment_id
@@ -353,7 +360,17 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
         "model_parameters": n_params,
         "timestamp": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
         "n_epochs_run": result.n_epochs_run,
+        # observability beyond the reference's single wall-clock figure
+        # (SURVEY.md section 5.1): per-stage timings + training throughput
+        "stage_timings": dict(stage_timings or {}),
     }
+    results["stage_timings"]["eval_seconds"] = time.time() - t_eval_start
+    train_s = results["stage_timings"].get("train_seconds")
+    if train_s:
+        from st_dadk_tpu.train.loop import adaptive_batch_size
+        bs = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
+        spb = max(1, -(-train_ps.n_real // bs))
+        results["steps_per_second"] = result.n_epochs_run * spb / train_s
     for split, m in (("train", train_metrics), ("valid", val_metrics),
                      ("test", test_metrics)):
         results[f"{split}_mse"] = m["mse"]

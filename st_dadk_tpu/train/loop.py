@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -515,11 +516,80 @@ def prepare_train_data(train_ps: PointSet, valid_ps: PointSet,
     return data, B_lane, vchunk
 
 
+def _flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for name, v in flat.items():
+        node = tree
+        parts = name.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_fit_checkpoint(path, carry: Dict[str, Any], epochs_done: int,
+                        hists: list) -> None:
+    """Persist full mid-training state: params, optimizer moments, EMA,
+    best-EMA snapshot, early-stop bookkeeping, PRNG key, epoch history.
+
+    The reference can only resume at whole-experiment granularity
+    (SURVEY.md section 5.3-5.4); this checkpoints the training loop itself.
+    """
+    import jax.random as jrandom
+    state = dict(carry)
+    key = state.pop("key")
+    flat = _flatten_tree(state)
+    flat["__key_data"] = np.asarray(jrandom.key_data(key))
+    flat["__epochs_done"] = np.asarray(epochs_done)
+    hist_cat = {f"__hist.{k}": np.concatenate([h[k] for h in hists])
+                for k in (hists[0] if hists else {})}
+    tmp = Path(str(path) + ".tmp.npz")
+    np.savez(tmp, **flat, **hist_cat)
+    tmp.replace(path)
+
+
+def load_fit_checkpoint(path) -> Tuple[Dict[str, Any], int, list]:
+    import jax.random as jrandom
+    data = np.load(path, allow_pickle=False)
+    flat, hist = {}, {}
+    epochs_done, key = 0, None
+    for name in data.files:
+        if name == "__key_data":
+            key = jrandom.wrap_key_data(jnp.asarray(data[name]))
+        elif name == "__epochs_done":
+            epochs_done = int(data[name])
+        elif name.startswith("__hist."):
+            hist[name[len("__hist."):]] = data[name]
+        else:
+            flat[name] = data[name]
+    carry = _unflatten_tree(flat)
+    carry["key"] = key
+    hists = [hist] if hist else []
+    return carry, epochs_done, hists
+
+
 def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
         consts: Dict[str, Any], train_ps: PointSet, valid_ps: PointSet,
-        seed: int, epochs_chunk: int = 50, verbose: bool = False) -> FitResult:
+        seed: int, epochs_chunk: int = 50, verbose: bool = False,
+        checkpoint_path=None, resume: bool = False,
+        session_epochs: Optional[int] = None) -> FitResult:
     """Train one model. Runs the jitted epoch scan in chunks so early stopping
-    can exit between chunks without recompiling."""
+    can exit between chunks without recompiling.
+
+    With `checkpoint_path`, the complete loop state is written after every
+    chunk and `resume=True` continues bit-exactly from the last checkpoint
+    (per-epoch RNG is derived by folding the epoch index into the carried
+    key, so the schedule of randomness is position-stable)."""
     batch_size = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
     data, B, val_chunk = prepare_train_data(train_ps, valid_ps, batch_size)
     n_val_chunks = data.va_coords.shape[0] // val_chunk
@@ -536,7 +606,13 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
     chunk = min(epochs_chunk, E)
     hists = []
     epochs_done = 0
-    while epochs_done < E:
+    if resume and checkpoint_path is not None and Path(checkpoint_path).exists():
+        carry, epochs_done, hists = load_fit_checkpoint(checkpoint_path)
+        if verbose:
+            print(f"Resumed training from epoch {epochs_done}")
+    session_limit = E if session_epochs is None else \
+        min(E, epochs_done + session_epochs)
+    while epochs_done < session_limit and not bool(np.asarray(carry["stopped"])):
         c = min(chunk, E - epochs_done)
         ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
         lr_c = jnp.asarray(lr_steps[epochs_done:epochs_done + c])
@@ -552,6 +628,8 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
         hist = jax.tree_util.tree_map(lambda x: np.asarray(x[:c]), hist)
         hists.append(hist)
         epochs_done += c
+        if checkpoint_path is not None:
+            save_fit_checkpoint(checkpoint_path, carry, epochs_done, hists)
         if bool(np.asarray(carry["stopped"])):
             if verbose:
                 print(f"Early stopping by epoch {epochs_done}")

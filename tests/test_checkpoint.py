@@ -1,0 +1,72 @@
+"""Mid-training checkpoint/resume: interrupted + resumed training must equal
+an uninterrupted run bit-for-bit (the reference can only restart whole
+experiments; this checkpoints the loop itself)."""
+import jax
+import numpy as np
+
+from st_dadk_tpu.config import ExperimentConfig
+from st_dadk_tpu.dataio.arrays import PointSet
+from st_dadk_tpu.models.st_interp import init_model, spec_from_config
+from st_dadk_tpu.train.loop import fit
+
+
+def _synthetic(n=256, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(size=(n, 2)).astype(np.float32)
+    t = rng.uniform(size=(n, 1)).astype(np.float32)
+    y = (np.sin(3 * coords[:, :1]) + 0.5 * t).astype(np.float32)
+    return PointSet(coords=coords, t=t, y=y, w=np.ones(n, np.float32), n_real=n)
+
+
+def _cfg(epochs):
+    return ExperimentConfig.from_dict(dict(
+        k_spatial_centers=[9], k_temporal_centers=[4], hidden_dims=[16, 8],
+        dropout=0.1, epochs=epochs, lr=5e-3, batch_size=64, patience=100,
+        warmup_epochs=2, scheduler="cosine", grad_clip=10.0,
+        regression_type="mean", use_pallas=False))
+
+
+def test_resume_bitwise_equals_uninterrupted(tmp_path):
+    cfg = _cfg(12)
+    train_ps, valid_ps = _synthetic(256, 0), _synthetic(64, 1)
+    spec = spec_from_config(cfg)
+    params, consts = init_model(jax.random.PRNGKey(3), spec)
+
+    # uninterrupted
+    full = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=3,
+               epochs_chunk=4)
+
+    # interrupted after 8 of 12 epochs (session budget) ...
+    ckpt = tmp_path / "fit.ckpt.npz"
+    partial = fit(cfg, spec, params, consts, train_ps, valid_ps,
+                  seed=3, epochs_chunk=4, checkpoint_path=ckpt,
+                  session_epochs=8)
+    assert ckpt.exists()
+    assert partial.n_epochs_run == 8
+    # ... then resumed to the full 12 epochs
+    resumed = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=3,
+                  epochs_chunk=4, checkpoint_path=ckpt, resume=True)
+
+    assert resumed.n_epochs_run == full.n_epochs_run == 12
+    assert np.array_equal(resumed.history["train_loss"],
+                          full.history["train_loss"])
+    assert np.array_equal(resumed.history["val_loss"], full.history["val_loss"])
+    for k in ("mlp",):
+        a = jax.tree_util.tree_leaves(resumed.params[k])
+        b = jax.tree_util.tree_leaves(full.params[k])
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_skips_when_finished(tmp_path):
+    cfg = _cfg(8)
+    train_ps, valid_ps = _synthetic(128, 0), _synthetic(32, 1)
+    spec = spec_from_config(cfg)
+    params, consts = init_model(jax.random.PRNGKey(0), spec)
+    ckpt = tmp_path / "c.npz"
+    r1 = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=0,
+             epochs_chunk=4, checkpoint_path=ckpt)
+    r2 = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=0,
+             epochs_chunk=4, checkpoint_path=ckpt, resume=True)
+    assert r2.n_epochs_run == r1.n_epochs_run
+    assert np.allclose(r2.history["val_loss"], r1.history["val_loss"])
