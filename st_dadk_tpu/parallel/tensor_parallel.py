@@ -1,0 +1,166 @@
+"""Tensor parallelism over the basis dimension (shard_map + psum).
+
+For large-N fits with many basis centers (the 3a/3b-scale regime in
+BASELINE.json), the (N, k) basis matrix and the k x h first MLP layer
+dominate memory and FLOPs. Sharding the center dimension k over a 'tp' mesh
+axis makes both the basis construction and the first matmul local:
+
+    device d holds  centers_d, bandwidths_d, W1_spatial_d  (k/n_dev rows)
+    partial_d = phi(coords; centers_d) @ W1_spatial_d       (N, h)
+    h1 = psum_d(partial_d + replicated_terms / n_dev)       exact first layer
+
+The remaining MLP layers are small and run replicated. The reference has no
+equivalent (single-process torch; SURVEY.md section 2.4); this is the natural
+TPU scaling path for the basis axis. Exactness vs the unsharded forward is
+tested on the virtual 8-device CPU mesh (tests/test_tensor_parallel.py).
+
+TP params use an explicit layout that separates the first layer into
+sharded-spatial and replicated-temporal blocks (`to_tp_params`); covariates
+(p > 0) are not supported on this path — the reference's workloads all use
+p = 0.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from st_dadk_tpu.models.st_interp import ModelSpec, head
+from st_dadk_tpu.ops.basis import spatial_basis_embed, temporal_basis_embed
+
+Params = Dict[str, Any]
+
+
+def to_tp_params(spec: ModelSpec, params: Params, consts: Dict[str, Any],
+                 n_dev: int) -> Tuple[Params, Dict[str, Any]]:
+    """Convert a standard param tree to the TP layout, padding the center
+    dimension to a multiple of n_dev. Padded centers sit far outside the
+    domain with zero weight rows, contributing exactly nothing."""
+    if spec.p != 0:
+        raise NotImplementedError("TP basis sharding requires p_covariates=0")
+    k, k_t = spec.k_spatial, spec.k_temporal
+    k_pad = ((k + n_dev - 1) // n_dev) * n_dev
+    pad = k_pad - k
+
+    def pad_rows(x, value=0.0):
+        if pad == 0:
+            return jnp.asarray(x)
+        shape = (pad,) + tuple(np.shape(x))[1:]
+        return jnp.concatenate([jnp.asarray(x),
+                                jnp.full(shape, value, jnp.asarray(x).dtype)])
+
+    tp_consts = {
+        "spatial_centers_init": pad_rows(consts["spatial_centers_init"], 1e6),
+        "spatial_bandwidths_init": pad_rows(consts["spatial_bandwidths_init"], 1.0),
+        "temporal_centers": jnp.asarray(consts["temporal_centers"]),
+        "temporal_bandwidths": jnp.asarray(consts["temporal_bandwidths"]),
+    }
+
+    mlp = params["mlp"]
+    w0 = jnp.asarray(mlp["linear_0"]["w"])          # (k + k_t, h)
+    tp_mlp: Dict[str, Any] = {
+        "w0_spatial": pad_rows(w0[:k]),             # (k_pad, h) -> sharded
+        "w0_temporal": w0[k:k + k_t],               # (k_t, h)  -> replicated
+        "b0": jnp.asarray(mlp["linear_0"]["b"]),
+    }
+    for name, leaf in mlp.items():
+        if name == "linear_0":
+            continue
+        tp_mlp[name] = jax.tree_util.tree_map(jnp.asarray, leaf)
+
+    tp_params: Params = {"mlp": tp_mlp}
+    if spec.spatial_learnable:
+        tp_params["basis"] = {
+            "centers": pad_rows(params["basis"]["centers"], 1e6),
+            "log_bandwidths": pad_rows(params["basis"]["log_bandwidths"], 0.0),
+        }
+    return tp_params, tp_consts
+
+
+def tp_param_specs(spec: ModelSpec, axis: str = "tp") -> Params:
+    mlp: Dict[str, Any] = {
+        "w0_spatial": P(axis, None),
+        "w0_temporal": P(),
+        "b0": P(),
+    }
+    for i in range(1, len(spec.hidden_dims)):
+        mlp[f"linear_{i}"] = {"w": P(), "b": P()}
+    if spec.layernorm:
+        for i in range(len(spec.hidden_dims)):
+            mlp[f"ln_{i}"] = {"scale": P(), "bias": P()}
+    if spec.delta_head:
+        mlp["delta"] = P()
+    else:
+        mlp["out"] = {"w": P(), "b": P()}
+    out: Params = {"mlp": mlp}
+    if spec.spatial_learnable:
+        out["basis"] = {"centers": P(axis, None), "log_bandwidths": P(axis)}
+    return out
+
+
+def tp_consts_specs(axis: str = "tp") -> Dict[str, Any]:
+    return {
+        "spatial_centers_init": P(axis, None),
+        "spatial_bandwidths_init": P(axis),
+        "temporal_centers": P(),
+        "temporal_bandwidths": P(),
+    }
+
+
+def _ln(h, ln):
+    mean = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.var(h, axis=-1, keepdims=True)
+    return (h - mean) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
+
+
+def make_tp_forward(spec: ModelSpec, mesh: Mesh, axis: str = "tp"):
+    """Jitted forward(tp_params, tp_consts, coords, t) with the basis axis
+    sharded over `axis`; coords/t replicated; output replicated."""
+    n_dev = mesh.shape[axis]
+
+    def _forward(params, consts, coords, t):
+        mlp = params["mlp"]
+        if spec.spatial_learnable:
+            centers = params["basis"]["centers"]
+            bandwidths = jnp.exp(params["basis"]["log_bandwidths"])
+        else:
+            centers = consts["spatial_centers_init"]
+            bandwidths = consts["spatial_bandwidths_init"]
+        phi_local = spatial_basis_embed(coords, centers, bandwidths,
+                                        spec.spatial_basis_function)
+        partial = phi_local @ mlp["w0_spatial"]           # (N, h)
+
+        psi = temporal_basis_embed(t, consts["temporal_centers"],
+                                   consts["temporal_bandwidths"])
+        rep = psi @ mlp["w0_temporal"] + mlp["b0"]
+        h = jax.lax.psum(partial + rep / n_dev, axis)
+
+        if spec.layernorm:
+            h = _ln(h, mlp["ln_0"])
+        h = jax.nn.relu(h)
+        for i in range(1, len(spec.hidden_dims)):
+            lin = mlp[f"linear_{i}"]
+            h = h @ lin["w"] + lin["b"]
+            if spec.layernorm:
+                h = _ln(h, mlp[f"ln_{i}"])
+            h = jax.nn.relu(h)
+        return head(spec, {"mlp": mlp}, h)
+
+    mapped = shard_map(
+        _forward, mesh=mesh,
+        in_specs=(tp_param_specs(spec, axis), tp_consts_specs(axis), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def place_tp(tree: Params, specs: Params, mesh: Mesh) -> Params:
+    """device_put a TP tree according to its PartitionSpecs."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: isinstance(x, P))

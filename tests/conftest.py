@@ -25,7 +25,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter start, so the env vars
+# above can be too late; force the platform through the live config too
+# (must happen before the first backend initialization).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+assert len(jax.devices()) >= 8, "expected the virtual 8-device CPU mesh"
 
 import pytest  # noqa: E402
 
