@@ -138,6 +138,24 @@ def main():
     for metric in ("test_rmse", "test_crps", "test_check_loss"):
         plot_boxplots(df_detail, results_dir, metric)
 
+    # "aggregate over one param" variants (ref analyze_grid_search.py:700-792):
+    # for each varying parameter, pool over everything else
+    for p in varying:
+        if p == "data_file" or p not in df_detail.columns:
+            continue
+        for metric in ("test_rmse", "test_crps"):
+            if metric not in df_detail.columns or df_detail[metric].isna().all():
+                continue
+            fig, ax = plt.subplots(figsize=(6, 4.5))
+            groups = df_detail.groupby(p)[metric]
+            labels = [str(name) for name, _ in groups]
+            ax.boxplot([g.dropna().values for _, g in groups], labels=labels)
+            ax.set_title(f"{metric} aggregated by {p}")
+            ax.grid(alpha=0.3)
+            fig.tight_layout()
+            fig.savefig(results_dir / f"boxplot_{metric}_by_{p}.png", dpi=110)
+            plt.close(fig)
+
     # detailed summary + insights
     metrics_present = [m for m in ("test_rmse", "test_crps") if
                        m in df_detail.columns and df_detail[m].notna().any()]

@@ -76,6 +76,19 @@ def aggregate_results(all_results: List[Dict[str, Any]], summary_dir: Path
 
     save_json(summary, summary_dir / "summary_statistics.json")
 
+    # cross-experiment maps (ref :2869-2873); best-effort, figures only
+    try:
+        from st_dadk_tpu.viz.plots import (create_averaged_spatial_mse,
+                                           create_observation_density_map)
+        exp_dirs = [Path(r["config"]["output_dir"]) for r in all_results
+                    if isinstance(r.get("config"), dict)
+                    and r["config"].get("output_dir")]
+        if exp_dirs:
+            create_averaged_spatial_mse(exp_dirs, summary_dir)
+            create_observation_density_map(exp_dirs, summary_dir)
+    except Exception as e:
+        print(f"[WARNING] summary figures failed: {e}")
+
     import pandas as pd
     df_data: Dict[str, Any] = {
         "experiment_id": [r.get("experiment_id", i + 1)

@@ -157,6 +157,61 @@ def plot_temporal_series(cfg, spec, params, consts, z_full: np.ndarray,
     plt.close(fig)
 
 
+def create_averaged_spatial_mse(experiment_dirs, summary_dir: Path) -> None:
+    """Cross-experiment averaged per-site MSE map from each experiment's
+    predictions.npz (ref train_st_interp.py:2636-2727)."""
+    site_mse_sum, coords, n = None, None, 0
+    for d in experiment_dirs:
+        f = Path(d) / "predictions.npz"
+        if not f.exists():
+            continue
+        data = np.load(f)
+        err = (data["predictions"] - data["true"]) ** 2
+        with np.errstate(invalid="ignore"):
+            site_mse = np.nanmean(err, axis=0)
+        if site_mse_sum is None:
+            site_mse_sum = np.zeros_like(site_mse)
+            coords = data["coords"]
+        site_mse_sum += np.nan_to_num(site_mse)
+        n += 1
+    if n == 0:
+        return
+    avg = site_mse_sum / n
+    fig, ax = plt.subplots(figsize=(7, 6))
+    _site_scatter(ax, coords, avg, f"per-site MSE averaged over {n} experiments",
+                  cmap="magma")
+    fig.tight_layout()
+    Path(summary_dir).mkdir(parents=True, exist_ok=True)
+    fig.savefig(Path(summary_dir) / "averaged_spatial_mse.png", dpi=110)
+    plt.close(fig)
+
+
+def create_observation_density_map(experiment_dirs, summary_dir: Path) -> None:
+    """Cross-experiment per-site observation frequency from the stored masks
+    (ref train_st_interp.py:2730-2787)."""
+    counts, coords, n = None, None, 0
+    for d in experiment_dirs:
+        f = Path(d) / "predictions.npz"
+        if not f.exists():
+            continue
+        data = np.load(f)
+        obs = data["train_mask"] | data["valid_mask"]
+        if counts is None:
+            counts = np.zeros(obs.shape[1], np.float64)
+            coords = data["coords"]
+        counts += obs.sum(axis=0)
+        n += 1
+    if n == 0:
+        return
+    fig, ax = plt.subplots(figsize=(7, 6))
+    _site_scatter(ax, coords, counts / n,
+                  f"mean observations per site over {n} experiments")
+    fig.tight_layout()
+    Path(summary_dir).mkdir(parents=True, exist_ok=True)
+    fig.savefig(Path(summary_dir) / "observation_density.png", dpi=110)
+    plt.close(fig)
+
+
 def plot_basis_evolution(centers_init: np.ndarray, bw_init: np.ndarray,
                          centers_final: np.ndarray, bw_final: np.ndarray,
                          train_coords: np.ndarray, output_dir: Path,
