@@ -44,7 +44,8 @@ MODELS = [
 
 
 def create_table_4_4_configs(base_config_path, da_stdk_init_method=None,
-                             non_crossing_lambda=None, data_file=None):
+                             non_crossing_lambda=None, data_file=None,
+                             delta_penalty_mode="eq310"):
     base = ExperimentConfig.from_yaml(base_config_path).to_dict()
     base["regression_type"] = "multi-quantile"
     base["quantile_levels"] = [0.05, 0.25, 0.5, 0.75, 0.95]
@@ -53,6 +54,11 @@ def create_table_4_4_configs(base_config_path, da_stdk_init_method=None,
     base["non_crossing_lambda"] = (non_crossing_lambda
                                    if non_crossing_lambda is not None
                                    else base.get("non_crossing_lambda") or 1.0)
+    # "eq310" reproduces the reference exactly — including the measured
+    # P_nc(delta) runaway (losses -> -inf; the reference's own TODO at
+    # train_st_interp.py:107-110 flags it). "abs" penalizes infeasibility
+    # instead and yields healthy CRPS.
+    base["non_crossing_delta_mode"] = delta_penalty_mode
     # dataset: thesis uses 2b_8; this snapshot has no 2b train files
     if data_file:
         base["data_file"] = data_file
@@ -87,6 +93,10 @@ def main():
     parser.add_argument("--da_stdk_init_method", type=str, default=None,
                         choices=[None, "kmeans_balanced", "gmm", "random_site"])
     parser.add_argument("--non_crossing_lambda", type=float, default=None)
+    parser.add_argument("--delta_penalty_mode", type=str, default="eq310",
+                        choices=["eq310", "abs"],
+                        help="'eq310' = reference-exact (known runaway); "
+                             "'abs' = penalize infeasibility")
     parser.add_argument("--engine", type=str, default="vmap",
                         choices=["vmap", "sequential"])
     parser.add_argument("--skip-existing", action="store_true")
@@ -98,7 +108,8 @@ def main():
 
     configs = create_table_4_4_configs(args.config, args.da_stdk_init_method,
                                        args.non_crossing_lambda,
-                                       args.data_file)
+                                       args.data_file,
+                                       args.delta_penalty_mode)
     scenario_summaries = {}
     for scenario_name, model_name, cfg in configs:
         cfg["n_experiments"] = args.n_experiments

@@ -64,6 +64,13 @@ class ExperimentConfig:
     non_crossing_weight: float = 0.0
     non_crossing_power: int = 1
     non_crossing_lambda: float = 0.0
+    # P_nc(delta) sign convention. "eq310" adds lambda * P_nc(delta) exactly as
+    # the reference does (train_st_interp.py:634-651) — NOTE this rewards ever
+    # more negative P_nc and measurably runs away (losses -> -inf; verified on
+    # both frameworks; the reference's own docstring flags the risk at :100-110).
+    # "abs" adds lambda * (-P_nc(delta)) >= 0, penalizing infeasibility as the
+    # reference's TODO suggests.
+    non_crossing_delta_mode: str = "eq310"
 
     # -- observation design ----------------------------------------------------
     obs_method: str = "site-wise"              # site-wise | random

@@ -75,6 +75,7 @@ class LoopSpec:
     non_crossing_weight: float = 0.0
     non_crossing_power: int = 1
     non_crossing_lambda: float = 0.0
+    non_crossing_delta_mode: str = "eq310"
     domain_penalty_weight: float = 0.0
     movement_penalty_weight: float = 0.0
     sparsity_penalty_type: str = "none"
@@ -107,6 +108,7 @@ class LoopSpec:
             non_crossing_weight=cfg.non_crossing_weight,
             non_crossing_power=cfg.non_crossing_power,
             non_crossing_lambda=cfg.non_crossing_lambda,
+            non_crossing_delta_mode=cfg.non_crossing_delta_mode,
             domain_penalty_weight=cfg.domain_penalty_weight,
             movement_penalty_weight=cfg.movement_penalty_weight,
             sparsity_penalty_type=cfg.sparsity_penalty_type,
@@ -164,8 +166,12 @@ def training_loss(spec: LoopSpec, params: Params, consts: Dict[str, Any],
         loss = multi_quantile_loss(preds, y, q, w)
         if m.use_delta_reparameterization and m.delta_head:
             if spec.non_crossing_lambda > 0:
-                loss = loss + spec.non_crossing_lambda * p_nc_delta_penalty(
-                    params["mlp"]["delta"])
+                p_nc = p_nc_delta_penalty(params["mlp"]["delta"])
+                if spec.non_crossing_delta_mode == "abs":
+                    # opt-in sign fix (the reference's own TODO, :107-110):
+                    # penalize infeasibility instead of rewarding it
+                    p_nc = -p_nc
+                loss = loss + spec.non_crossing_lambda * p_nc
         else:
             if spec.non_crossing_weight > 0:
                 loss = loss + spec.non_crossing_weight * non_crossing_penalty(

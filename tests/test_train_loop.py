@@ -165,3 +165,28 @@ class TestWeightedPaddingInvariance:
                  epochs_chunk=3)
         assert np.allclose(r1.history["val_loss"], r2.history["val_loss"],
                            atol=1e-6)
+
+
+class TestDeltaPenaltyModes:
+    def test_abs_mode_keeps_loss_bounded(self):
+        """'eq310' (reference-exact) rewards ever more negative P_nc(delta)
+        and runs away; 'abs' penalizes infeasibility and stays bounded."""
+        train_ps = _synthetic(512, 0)
+        valid_ps = _synthetic(128, 1)
+        results = {}
+        for mode in ("eq310", "abs"):
+            cfg = _cfg(regression_type="multi-quantile",
+                       quantile_levels=[0.05, 0.25, 0.5, 0.75, 0.95],
+                       use_delta_reparameterization=True,
+                       non_crossing_lambda=1.0,
+                       non_crossing_delta_mode=mode, epochs=25, lr=2e-2)
+            spec = spec_from_config(cfg)
+            params, consts = init_model(jax.random.PRNGKey(0), spec)
+            res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=0,
+                      epochs_chunk=25)
+            results[mode] = res.history["train_loss"]
+        # eq310: monotone dive into large negative territory
+        assert results["eq310"][-1] < -1.0
+        # abs: stays near the data term
+        assert results["abs"][-1] > -0.1
+        assert np.isfinite(results["abs"]).all()
