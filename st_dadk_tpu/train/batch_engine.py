@@ -31,16 +31,11 @@ from st_dadk_tpu.train.loop import (
     LoopSpec,
     adaptive_batch_size,
     assemble_result,
-    init_carry,
     jitted_fit_chunk,
     prepare_carry_batch,
     prepare_train_data,
 )
 from st_dadk_tpu.train.optimizer import build_lr_tables
-
-
-def _stack(trees: List[Any]):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
 def _lane(tree: Any, i: int):
