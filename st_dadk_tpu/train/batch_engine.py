@@ -42,6 +42,50 @@ def _lane(tree: Any, i: int):
     return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
 
 
+def _batched_eval(cfg, spec_model, carry_host, consts_b, setups, M):
+    """Per-lane split metrics + dense (T, S) field from one vmapped predict.
+
+    Selects each lane's serving params (best-EMA when a best exists, final
+    EMA otherwise — matching assemble_result) on host, then runs a single
+    (M, T*S, Q) inference over the shared grid."""
+    from st_dadk_tpu.dataio.arrays import dense_grid_points
+    from st_dadk_tpu.train.experiment import metrics_from_preds
+    from st_dadk_tpu.train.loop import predict_lanes
+
+    has_best = np.asarray(carry_host["has_best"])[:M]
+
+    def select(best, ema):
+        sel = has_best.reshape((M,) + (1,) * (best.ndim - 1))
+        return np.where(sel, best[:M], ema[:M])
+
+    params_sel = jax.tree_util.tree_map(select, carry_host["best_ema"],
+                                        carry_host["ema"])
+    params_b = jax.tree_util.tree_map(jnp.asarray, params_sel)
+    consts_sliced = jax.tree_util.tree_map(lambda x: x[:M], consts_b)
+
+    s0 = setups[0]
+    T, coords = s0.T, s0.coords
+    coords_rep, t_rep = dense_grid_points(T, coords)
+    preds = predict_lanes(spec_model, params_b, consts_sliced,
+                          coords_rep, t_rep)                  # (M, T*S, Q)
+    Q = preds.shape[-1]
+    median_idx = (len(cfg.quantile_levels) // 2
+                  if cfg.regression_type == "multi-quantile" else 0)
+
+    out = []
+    for li, s in enumerate(setups):
+        field = preds[li].reshape(T, s.S, Q)
+        lane = {"all_predictions": field[:, :, median_idx]}
+        for split, mask in (("train_metrics", s.train_mask),
+                            ("val_metrics", s.valid_mask),
+                            ("test_metrics", s.test_mask)):
+            m = mask & np.isfinite(s.z_full)
+            lane[split] = metrics_from_preds(
+                cfg, field[m], s.z_full[m][:, None])
+        out.append(lane)
+    return out
+
+
 def experiment_mesh(axis: str = "exp") -> Mesh:
     devices = np.array(jax.devices())
     return Mesh(devices, (axis,))
@@ -173,6 +217,17 @@ def run_experiment_batch(
               f"(setup {t_setup:.1f}s, train {t_train - t_setup:.1f}s)")
     t_phase = time.time()
 
+    # -- batched evaluation: ONE vmapped dense-grid predict for all lanes ----
+    # (lanes share the dataset; per-split metrics + predictions.npz payloads
+    # all derive from the (M, T*S, Q) field — eval is deterministic, so the
+    # values equal per-lane chunked prediction exactly)
+    precomputed_lanes = None
+    try:
+        precomputed_lanes = _batched_eval(cfg, spec_model, carry_host,
+                                          consts_b, setups, len(todo))
+    except Exception as e:
+        print(f"[WARNING] batched eval failed, falling back per-lane: {e}")
+
     # -- per-lane finalize ------------------------------------------------------
     results = []
     per_lane_time = wall / max(M, 1)
@@ -185,7 +240,8 @@ def run_experiment_batch(
         r = finalize_experiment(
             cfg, s, fit_res, out_dir, per_lane_time, verbose=False,
             stage_timings={"setup_seconds": t_setup / M,
-                           "train_seconds": (t_train - t_setup) / M})
+                           "train_seconds": (t_train - t_setup) / M},
+            precomputed=precomputed_lanes[li] if precomputed_lanes else None)
         r.pop("_split_predictions", None)
         results.append(r)
     if verbose:

@@ -81,8 +81,11 @@ def evaluate_pointset(cfg: ExperimentConfig, spec: ModelSpec,
 
     Returns (metrics dict, raw predictions (n, out_dim))."""
     preds = predict(spec, params, consts, ps.coords, ps.t)
-    trues = ps.y
+    return metrics_from_preds(cfg, preds, ps.y), preds
 
+
+def metrics_from_preds(cfg: ExperimentConfig, preds: np.ndarray,
+                       trues: np.ndarray) -> Dict[str, float]:
     if cfg.regression_type == "multi-quantile":
         median_idx = len(cfg.quantile_levels) // 2
         preds_m = preds[:, median_idx:median_idx + 1]
@@ -104,7 +107,7 @@ def evaluate_pointset(cfg: ExperimentConfig, spec: ModelSpec,
                   for i, q in enumerate(cfg.quantile_levels)]
         metrics["mean_check_loss"] = float(np.mean(checks))
         metrics["check_loss"] = float(np.mean(checks))
-    return metrics, preds
+    return metrics
 
 
 def dense_field_prediction(cfg: ExperimentConfig, spec: ModelSpec,
@@ -308,7 +311,8 @@ def _run_one_fit(cfg: ExperimentConfig, experiment_id: int, output_dir: Path,
 def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                         result: FitResult, output_dir: Path,
                         total_time: float, verbose: bool = False,
-                        stage_timings: Optional[Dict[str, float]] = None
+                        stage_timings: Optional[Dict[str, float]] = None,
+                        precomputed: Optional[Dict[str, Any]] = None
                         ) -> Dict[str, Any]:
     """Evaluation + results.json + artifacts + plots for one completed fit."""
     t_eval_start = time.time()
@@ -337,9 +341,17 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
     }
 
     # -- evaluation ---------------------------------------------------------------
-    train_metrics, _ = evaluate_pointset(cfg, spec, result.params, consts, train_ps)
-    val_metrics, _ = evaluate_pointset(cfg, spec, result.params, consts, valid_ps)
-    test_metrics, _ = evaluate_pointset(cfg, spec, result.params, consts, test_ps)
+    if precomputed is not None:
+        train_metrics = precomputed["train_metrics"]
+        val_metrics = precomputed["val_metrics"]
+        test_metrics = precomputed["test_metrics"]
+    else:
+        train_metrics, _ = evaluate_pointset(cfg, spec, result.params, consts,
+                                             train_ps)
+        val_metrics, _ = evaluate_pointset(cfg, spec, result.params, consts,
+                                           valid_ps)
+        test_metrics, _ = evaluate_pointset(cfg, spec, result.params, consts,
+                                            test_ps)
     if verbose:
         print(f"  test: {test_metrics}")
 
@@ -408,13 +420,14 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
 
     # -- artifacts ------------------------------------------------------------
     split_predictions = None
-    all_predictions = None
+    all_predictions = (precomputed or {}).get("all_predictions")
     if cfg.save_artifacts:
         save_params_npz(result.params, output_dir / "model_final.npz")
         save_params_npz(result.params, output_dir / "model_best.npz")
 
-        all_predictions = dense_field_prediction(cfg, spec, result.params,
-                                                 consts, T, coords)
+        if all_predictions is None:
+            all_predictions = dense_field_prediction(cfg, spec, result.params,
+                                                     consts, T, coords)
         np.savez(output_dir / "predictions.npz",
                  predictions=all_predictions, true=z_full, coords=coords,
                  train_mask=train_mask, valid_mask=valid_mask,

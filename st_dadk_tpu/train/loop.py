@@ -684,10 +684,9 @@ def assemble_result(spec: LoopSpec, carry: Dict[str, Any],
 # Inference
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _predict_chunked(spec_model: ModelSpec, params: Params,
-                     consts: Dict[str, Any], coords: jax.Array,
-                     t: jax.Array, n_chunks: int) -> jax.Array:
+def _predict_chunked_raw(spec_model: ModelSpec, params: Params,
+                         consts: Dict[str, Any], coords: jax.Array,
+                         t: jax.Array, n_chunks: int) -> jax.Array:
     C = coords.shape[0] // n_chunks
     coords = coords.reshape(n_chunks, C, 2)
     t = t.reshape(n_chunks, C, 1)
@@ -698,6 +697,37 @@ def _predict_chunked(spec_model: ModelSpec, params: Params,
                              train=False)
     _, preds = jax.lax.scan(body, None, (coords, t))
     return preds.reshape(n_chunks * C, -1)
+
+
+_predict_chunked = jax.jit(_predict_chunked_raw, static_argnums=(0, 5))
+
+_VMAP_PREDICT_CACHE: Dict[Any, Any] = {}
+
+
+def predict_lanes(spec_model: ModelSpec, params_b: Params,
+                  consts_b: Dict[str, Any], coords: np.ndarray,
+                  t: np.ndarray, chunk: int = 32768) -> np.ndarray:
+    """Batched inference for M lanes sharing the same evaluation points:
+    ONE jitted vmapped program instead of M chunked predict dispatches.
+    Returns (M, n, out_dim)."""
+    n = coords.shape[0]
+    n_pad = round_up(n, chunk)
+    n_chunks = n_pad // chunk
+    coords_p = np.zeros((n_pad, 2), np.float32)
+    coords_p[:n] = coords
+    t_p = np.zeros((n_pad, 1), np.float32)
+    t_p[:n] = t.reshape(n, 1)
+
+    key = (spec_model, n_chunks, chunk)
+    fn = _VMAP_PREDICT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(
+            lambda p, c, xy, tt: _predict_chunked_raw(spec_model, p, c, xy,
+                                                      tt, n_chunks),
+            in_axes=(0, 0, None, None)))
+        _VMAP_PREDICT_CACHE[key] = fn
+    preds = fn(params_b, consts_b, jnp.asarray(coords_p), jnp.asarray(t_p))
+    return np.asarray(preds[:, :n])
 
 
 def predict(spec_model: ModelSpec, params: Params, consts: Dict[str, Any],
