@@ -192,7 +192,16 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
 def _nn_bandwidths(centers: np.ndarray, n_neighbors: int = 4,
                    scale: float = 2.5) -> np.ndarray:
     """2.5 x mean distance to the `n_neighbors` nearest other centers
-    (ref st_interp.py:306-323, :400-416)."""
+    (ref st_interp.py:306-323, :400-416), floored at 0.25x the uniform-grid
+    bandwidth for the same k.
+
+    The floor is a robustness extension: when clustering has fewer unique
+    training locations than clusters (e.g. site-wise observation with
+    k > n_obs_sites), duplicate centers make nearest distances 0 and the
+    log-bandwidth parameterization NaNs — the reference has no guard and
+    diverges identically there; its GMM path applies the same 0.25x floor
+    (st_interp.py:250-255).
+    """
     k = centers.shape[0]
     if k == 1:
         return np.array([scale], dtype=np.float32)
@@ -201,7 +210,9 @@ def _nn_bandwidths(centers: np.ndarray, n_neighbors: int = 4,
     np.fill_diagonal(dist, np.inf)
     nn = min(n_neighbors, k - 1)
     nearest = np.sort(dist, axis=1)[:, :nn]
-    return (nearest.mean(axis=1) * scale).astype(np.float32)
+    bw = (nearest.mean(axis=1) * scale).astype(np.float32)
+    floor = 0.25 * scale / max(np.sqrt(k) - 1.0, 1.0)   # 0.25 x uniform bw
+    return np.maximum(bw, np.float32(floor))
 
 
 def _subsample(train_coords: np.ndarray, rng_np: bool = True) -> np.ndarray:
