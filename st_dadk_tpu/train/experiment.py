@@ -216,6 +216,27 @@ def run_single_experiment(
         "total_time_seconds": total_time,
     }
     save_json(aggregated, output_dir / "results.json")
+
+    # combined fan chart across the separate per-tau models' dense fields
+    # (ref reloads per-tau checkpoints for this, :2094-2150; the stored
+    # predictions.npz fields are those models' deterministic outputs)
+    if cfg.save_plots and cfg.save_artifacts:
+        try:
+            from st_dadk_tpu.viz.plots import plot_combined_quantile_series
+            qpred, z_full = {}, None
+            for q in qs:
+                f = output_dir / f"quantile_{q}" / "predictions.npz"
+                if f.exists():
+                    d = np.load(f)
+                    qpred[q] = d["predictions"]
+                    z_full, coords = d["true"], d["coords"]
+                    train_mask, test_mask = d["train_mask"], d["test_mask"]
+            if len(qpred) == len(qs) and z_full is not None:
+                plot_combined_quantile_series(qpred, z_full, coords,
+                                              train_mask, test_mask,
+                                              output_dir)
+        except Exception as e:
+            print(f"[WARNING] combined quantile plot failed: {e}")
     return aggregated
 
 
@@ -470,11 +491,15 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
             plots.plot_temporal_series(cfg, spec, result.params, consts,
                                        z_full, coords, train_mask, valid_mask,
                                        test_mask, output_dir)
+            inactive = plots.inactive_basis_mask(
+                np.asarray(result.params["mlp"]["linear_0"]["w"]),
+                spec.k_spatial, spec.p, cfg.sparsity_threshold_ratio)
             plots.plot_basis_evolution(init_centers_np, init_bw_np,
                                        *_final_basis(spec, result.params,
                                                      init_centers_np, init_bw_np),
                                        train_ps.coords, output_dir,
-                                       result.centers_history)
+                                       result.centers_history,
+                                       inactive=inactive)
         except Exception as e:  # plots must never fail an experiment
             print(f"[WARNING] plotting failed: {e}")
 

@@ -618,6 +618,13 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
             print(f"Resumed training from epoch {epochs_done}")
     session_limit = E if session_epochs is None else \
         min(E, epochs_done + session_epochs)
+
+    # optional device profiling (SURVEY.md section 5.1 "JAX profiler
+    # optional"): set profile_dir in the config to trace the fit
+    import contextlib
+    stack = contextlib.ExitStack()
+    if cfg.extra.get("profile_dir"):
+        stack.enter_context(jax.profiler.trace(str(cfg.extra["profile_dir"])))
     while epochs_done < session_limit and not bool(np.asarray(carry["stopped"])):
         c = min(chunk, E - epochs_done)
         ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
@@ -640,6 +647,7 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
             if verbose:
                 print(f"Early stopping by epoch {epochs_done}")
             break
+    stack.close()
 
     history_concat = {k: np.concatenate([h[k] for h in hists])
                       for k in hists[0]}

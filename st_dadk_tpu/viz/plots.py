@@ -212,12 +212,71 @@ def create_observation_density_map(experiment_dirs, summary_dir: Path) -> None:
     plt.close(fig)
 
 
+def plot_combined_quantile_series(quantile_preds: Dict[float, np.ndarray],
+                                  z_full: np.ndarray, coords: np.ndarray,
+                                  train_mask: np.ndarray,
+                                  test_mask: np.ndarray,
+                                  output_dir: Path, n_sites: int = 4) -> None:
+    """Fan chart combining SEPARATE per-tau models' dense predictions
+    (the reference reloads per-tau checkpoints and renders a combined
+    temporal plot, train_st_interp.py:2094-2150). quantile_preds maps
+    tau -> (T, S) prediction fields."""
+    qs = sorted(quantile_preds.keys())
+    T, S = z_full.shape
+    rng = np.random.default_rng(0)
+    pools = [np.where(train_mask.any(axis=0))[0],
+             np.where(test_mask.all(axis=0))[0]]
+    chosen: List[int] = []
+    for pool in pools:
+        if len(pool):
+            chosen += list(rng.choice(pool, size=min(n_sites // 2, len(pool)),
+                                      replace=False))
+    chosen = chosen[:n_sites] or [0]
+
+    tt = np.arange(1, T + 1)
+    fig, axes = plt.subplots(len(chosen), 1, figsize=(12, 3 * len(chosen)),
+                             squeeze=False)
+    med = qs[len(qs) // 2]
+    for row, s in enumerate(chosen):
+        ax = axes[row][0]
+        for lo_i in range(len(qs) // 2):
+            lo, hi = qs[lo_i], qs[len(qs) - 1 - lo_i]
+            ax.fill_between(tt, quantile_preds[lo][:, s],
+                            quantile_preds[hi][:, s], alpha=0.18,
+                            color="tab:purple",
+                            label=f"q{lo}-q{hi}" if row == 0 else None)
+        ax.plot(tt, quantile_preds[med][:, s], color="tab:purple",
+                label=f"q{med}" if row == 0 else None)
+        ax.plot(tt, z_full[:, s], ".", ms=3, color="black",
+                label="true" if row == 0 else None)
+        role = "train" if train_mask[:, s].any() else "test"
+        ax.set_title(f"site {s} ({role}) — separate per-tau models")
+        if row == 0:
+            ax.legend(ncol=4, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(Path(output_dir) / "combined_quantile_series.png", dpi=100)
+    plt.close(fig)
+
+
+def inactive_basis_mask(first_layer_w: np.ndarray, k_spatial: int,
+                        p_covariates: int = 0,
+                        threshold_ratio: float = 0.01) -> np.ndarray:
+    """Detect 'removed' bases by first-layer group norms below
+    threshold_ratio x max norm (ref plot_basis_evolution,
+    train_st_interp.py:1637-1933 + sparsity_threshold_ratio config)."""
+    rows = first_layer_w[p_covariates:p_covariates + k_spatial]   # (k, h)
+    norms = np.linalg.norm(rows, axis=1)
+    return norms < threshold_ratio * max(norms.max(), 1e-12)
+
+
 def plot_basis_evolution(centers_init: np.ndarray, bw_init: np.ndarray,
                          centers_final: np.ndarray, bw_final: np.ndarray,
                          train_coords: np.ndarray, output_dir: Path,
                          centers_history: Optional[List[Tuple[int, np.ndarray]]]
-                         = None) -> None:
-    """Init vs final centers with movement traces (ref :1637-1933)."""
+                         = None,
+                         inactive: Optional[np.ndarray] = None) -> None:
+    """Init vs final centers with movement traces and inactive-basis marks
+    (ref :1637-1933)."""
     fig, axes = plt.subplots(1, 2, figsize=(13, 6))
     for ax, (c, bw, title) in zip(axes, [
             (centers_init, bw_init, "initial"),
@@ -240,6 +299,12 @@ def plot_basis_evolution(centers_init: np.ndarray, bw_init: np.ndarray,
     if centers_history:
         for epoch, cs in centers_history:
             axes[1].scatter(cs[:, 0], cs[:, 1], s=3, alpha=0.25, c="tab:orange")
+    if inactive is not None and inactive.any():
+        ina = centers_final[inactive]
+        axes[1].scatter(ina[:, 0], ina[:, 1], s=60, facecolors="none",
+                        edgecolors="red", linewidths=1.2,
+                        label=f"inactive ({int(inactive.sum())})")
+        axes[1].legend(loc="upper right", fontsize=8)
     fig.tight_layout()
     fig.savefig(Path(output_dir) / "basis_evolution.png", dpi=100)
     plt.close(fig)
