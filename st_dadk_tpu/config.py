@@ -107,9 +107,6 @@ class ExperimentConfig:
     # Unknown keys found in YAML are preserved here so config snapshots round-trip.
     extra: Dict[str, Any] = field(default_factory=dict)
 
-    # ------------------------------------------------------------------------
-    _FIELDS: Tuple[str, ...] = ()  # populated below
-
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
         known = {f.name for f in dataclasses.fields(cls) if f.name != "extra"}

@@ -2,8 +2,10 @@
 
 Role parity with stnf/models/basis_embedding.py (the reference's older module
 with hard-coded multi-resolution grids 5x5 (theta=0.625), 9x9 (theta=0.3125),
-11x11 (theta=0.25) = 250 total centers; kept but unused by its scripts). Here
-it is a thin convenience wrapper over the shared basis ops.
+11x11 (theta=0.25); kept but unused by its scripts). NOTE: the reference's
+docstring and banner claim 250 centers, but its grid configs actually build
+25 + 81 + 121 = 227 (basis_embedding.py:86-90) — this module matches the
+actual behavior. Thin wrapper over the shared basis ops.
 """
 from __future__ import annotations
 
@@ -34,7 +36,7 @@ def legacy_centers_and_bandwidths():
 
 
 def embed(coords: jax.Array) -> jax.Array:
-    """(N, 2) coords in [0,1]^2 -> (N, 250) Wendland basis values."""
+    """(N, 2) coords in [0,1]^2 -> (N, 227) Wendland basis values."""
     centers, bws = legacy_centers_and_bandwidths()
     return spatial_basis_embed(coords, jnp.asarray(centers),
                                jnp.asarray(bws), "wendland")
@@ -45,6 +47,6 @@ if __name__ == "__main__":
     rng = np.random.default_rng(0)
     coords = jnp.asarray(rng.uniform(size=(32, 2)), jnp.float32)
     phi = embed(coords)
-    assert phi.shape == (32, 250)
+    assert phi.shape == (32, 227)
     assert float(phi.min()) >= 0.0 and float(phi.max()) <= 1.0 + 1e-6
     print("legacy basis OK:", phi.shape)
