@@ -90,12 +90,18 @@ def main() -> None:
                              verbose=False, epochs_chunk=100)
         log(f"[bench] warmup done in {time.time()-t0:.1f}s")
 
-        cfg = ExperimentConfig.from_dict(base)
-        t0 = time.time()
-        results = run_experiment_batch(cfg, list(range(1, M + 1)),
-                                       tmp / "timed", verbose=False,
-                                       epochs_chunk=100)
-        wall = time.time() - t0
+        # two timed repetitions, best wall (host-side work shares one CPU
+        # core with whatever else runs on this box; take the cleaner sample)
+        walls, results = [], None
+        for rep in range(2):
+            cfg = ExperimentConfig.from_dict({**base,
+                                              "base_seed": 2025 + rep * 1000})
+            t0 = time.time()
+            results = run_experiment_batch(cfg, list(range(1, M + 1)),
+                                           tmp / f"timed{rep}", verbose=False,
+                                           epochs_chunk=100)
+            walls.append(time.time() - t0)
+        wall = min(walls)
         fits_per_hour = M / wall * 3600.0
 
         crps = [r.get("test_crps") for r in results]
