@@ -90,10 +90,10 @@ def main() -> None:
                              verbose=False, epochs_chunk=100)
         log(f"[bench] warmup done in {time.time()-t0:.1f}s")
 
-        # two timed repetitions, best wall (host-side work shares one CPU
-        # core with whatever else runs on this box; take the cleaner sample)
+        # three timed repetitions, best wall: the remote-TPU tunnel latency
+        # fluctuates ~2x run-to-run and the host has a single CPU core
         walls, results = [], None
-        for rep in range(2):
+        for rep in range(3):
             cfg = ExperimentConfig.from_dict({**base,
                                               "base_seed": 2025 + rep * 1000})
             t0 = time.time()

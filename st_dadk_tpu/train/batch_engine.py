@@ -147,10 +147,11 @@ def run_experiment_batch(
                                         cap_va=cap_va)
         datas.append(data)
 
-    # lanes stacked on host (numpy), shipped with one transfer; model init +
-    # carry construction is ONE jitted program (see loop.prepare_carry_batch)
-    data_b = jax.tree_util.tree_map(lambda *xs: jnp.asarray(np.stack(xs)),
-                                    *datas)
+    # lanes stacked on host (numpy); uploaded ONCE with the lane sharding at
+    # the device_put below (an eager per-leaf asarray here would upload every
+    # leaf unsharded and then re-place it). Model init + carry construction
+    # is ONE jitted program (see loop.prepare_carry_batch).
+    data_b = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *datas)
     carry_b, consts_b = prepare_carry_batch(spec_model, len(setups))(
         keys, centers_b, bw_b)
     # per-lane consts/param-count for finalize, materialized on host in one
