@@ -152,30 +152,101 @@ def run_grid_search(
     skip_existing: bool = False,
     verbose: bool = False,
 ) -> List[Dict[str, Any]]:
-    """Run the full grid; per config, experiments run as a vmapped batch."""
+    """Run the full grid.
+
+    engine='vmap': configs are bucketed by stacking key (identical model/loop
+    hyperparameters) and dataset shape, and every bucket's configs x repeats
+    run as ONE vmapped device program (config-level stacking on top of
+    experiment-level stacking). 'sequential' falls back to per-config,
+    per-experiment execution.
+    """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     configs = generate_config_combinations(base_config, param_grid, filter_fn)
     n_configs = len(configs)
 
-    all_results = []
-    for i, config in enumerate(configs, 1):
-        print(f"[{i}/{n_configs}] {config['tag']}")
+    for config in configs:
         config_dir = output_dir / config["tag"]
         config_dir.mkdir(parents=True, exist_ok=True)
         with open(config_dir / "config.yaml", "w") as f:
             yaml.dump(config, f, default_flow_style=False)
+
+    all_results = []
+    if engine == "vmap":
+        all_results = _run_grid_stacked(configs, output_dir,
+                                        skip_existing=skip_existing,
+                                        verbose=verbose)
+    else:
+        for i, config in enumerate(configs, 1):
+            print(f"[{i}/{n_configs}] {config['tag']}")
+            config_dir = output_dir / config["tag"]
+            try:
+                summary = run_multiple_experiments(
+                    ExperimentConfig.from_dict(config), config_dir,
+                    skip_existing=skip_existing, verbose=verbose,
+                    engine=engine)
+                all_results.append({"config": config, "summary": summary,
+                                    "status": "success"})
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                all_results.append({"config": config, "summary": None,
+                                    "status": "failed", "error": str(e)})
+
+    save_experiment_results(all_results, output_dir)
+    return all_results
+
+
+def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
+                      skip_existing: bool, verbose: bool
+                      ) -> List[Dict[str, Any]]:
+    """Bucket configs by stacking key + dataset shape; one vmapped job batch
+    per bucket; then per-config aggregation preserving the filesystem
+    contract."""
+    from st_dadk_tpu.train.batch_engine import run_job_batch, stacking_key
+    from st_dadk_tpu.train.experiment import _load_cached
+    from st_dadk_tpu.train.runner import aggregate_results, load_all_results
+
+    cfg_objs = [ExperimentConfig.from_dict(c) for c in configs]
+    buckets: Dict[Any, List[int]] = {}
+    for i, c in enumerate(cfg_objs):
         try:
-            summary = run_multiple_experiments(
-                ExperimentConfig.from_dict(config), config_dir,
-                skip_existing=skip_existing, verbose=verbose, engine=engine)
-            all_results.append({"config": config, "summary": summary,
-                                "status": "success"})
+            z, _, _ = _load_cached(c.resolve_data_file(), c.normalize_target,
+                                   False)
+            shape = z.shape
+        except Exception:
+            shape = ("unknown", configs[i]["tag"])
+        buckets.setdefault((stacking_key(c), shape), []).append(i)
+
+    failed: Dict[int, str] = {}
+    for b_idx, (key, members) in enumerate(buckets.items(), 1):
+        jobs = []
+        for i in members:
+            exp_dir = output_dir / configs[i]["tag"] / "experiments"
+            for e in range(1, cfg_objs[i].n_experiments + 1):
+                jobs.append((cfg_objs[i], e, exp_dir / str(e)))
+        print(f"[bucket {b_idx}/{len(buckets)}] {len(members)} configs x "
+              f"{cfg_objs[members[0]].n_experiments} repeats = "
+              f"{len(jobs)} lanes")
+        try:
+            run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose)
         except Exception as e:
             import traceback
             traceback.print_exc()
-            all_results.append({"config": config, "summary": None,
-                                "status": "failed", "error": str(e)})
+            for i in members:
+                failed[i] = str(e)
 
-    save_experiment_results(all_results, output_dir)
+    all_results = []
+    for i, config in enumerate(configs):
+        config_dir = output_dir / config["tag"]
+        if i in failed:
+            all_results.append({"config": config, "summary": None,
+                                "status": "failed", "error": failed[i]})
+            continue
+        results = load_all_results(config_dir / "experiments",
+                                   cfg_objs[i].n_experiments)
+        summary = (aggregate_results(results, config_dir / "summary")
+                   if results else None)
+        all_results.append({"config": config, "summary": summary,
+                            "status": "success" if summary else "failed"})
     return all_results

@@ -43,11 +43,13 @@ def _lane(tree: Any, i: int):
 
 
 def _batched_eval(cfg, spec_model, carry_host, consts_b, setups, M):
-    """Per-lane split metrics + dense (T, S) field from one vmapped predict.
+    """Per-lane split metrics + dense (T, S) field from vmapped predicts.
 
     Selects each lane's serving params (best-EMA when a best exists, final
-    EMA otherwise — matching assemble_result) on host, then runs a single
-    (M, T*S, Q) inference over the shared grid."""
+    EMA otherwise — matching assemble_result) on host, then runs one
+    (M_group, T*S, Q) inference per distinct dataset (lanes of a stacked
+    config batch may span data files; every group reuses the same compiled
+    program since shapes match)."""
     from st_dadk_tpu.dataio.arrays import dense_grid_points
     from st_dadk_tpu.train.experiment import metrics_from_preds
     from st_dadk_tpu.train.loop import predict_lanes
@@ -60,29 +62,37 @@ def _batched_eval(cfg, spec_model, carry_host, consts_b, setups, M):
 
     params_sel = jax.tree_util.tree_map(select, carry_host["best_ema"],
                                         carry_host["ema"])
-    params_b = jax.tree_util.tree_map(jnp.asarray, params_sel)
-    consts_sliced = jax.tree_util.tree_map(lambda x: x[:M], consts_b)
+    consts_host = jax.tree_util.tree_map(lambda x: np.asarray(x[:M]), consts_b)
 
-    s0 = setups[0]
-    T, coords = s0.T, s0.coords
-    coords_rep, t_rep = dense_grid_points(T, coords)
-    preds = predict_lanes(spec_model, params_b, consts_sliced,
-                          coords_rep, t_rep)                  # (M, T*S, Q)
-    Q = preds.shape[-1]
+    groups: Dict[Any, List[int]] = {}
+    for li, s in enumerate(setups):
+        groups.setdefault(getattr(s, "cfg", cfg).data_file, []).append(li)
+
+    Q = (len(cfg.quantile_levels)
+         if cfg.regression_type == "multi-quantile" else 1)
     median_idx = (len(cfg.quantile_levels) // 2
                   if cfg.regression_type == "multi-quantile" else 0)
 
-    out = []
-    for li, s in enumerate(setups):
-        field = preds[li].reshape(T, s.S, Q)
-        lane = {"all_predictions": field[:, :, median_idx]}
-        for split, mask in (("train_metrics", s.train_mask),
-                            ("val_metrics", s.valid_mask),
-                            ("test_metrics", s.test_mask)):
-            m = mask & np.isfinite(s.z_full)
-            lane[split] = metrics_from_preds(
-                cfg, field[m], s.z_full[m][:, None])
-        out.append(lane)
+    out: List[Optional[Dict[str, Any]]] = [None] * len(setups)
+    for lanes in groups.values():
+        s0 = setups[lanes[0]]
+        T = s0.T
+        coords_rep, t_rep = dense_grid_points(T, s0.coords)
+        take = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x[np.asarray(lanes)]), t)
+        preds = predict_lanes(spec_model, take(params_sel),
+                              take(consts_host), coords_rep, t_rep)
+        for gi, li in enumerate(lanes):
+            s = setups[li]
+            field = preds[gi].reshape(T, s.S, -1)
+            lane = {"all_predictions": field[:, :, median_idx]}
+            for split, mask in (("train_metrics", s.train_mask),
+                                ("val_metrics", s.valid_mask),
+                                ("test_metrics", s.test_mask)):
+                m = mask & np.isfinite(s.z_full)
+                lane[split] = metrics_from_preds(
+                    cfg, field[m], s.z_full[m][:, None])
+            out[li] = lane
     return out
 
 
@@ -102,21 +112,70 @@ def run_experiment_batch(
 ) -> List[Dict[str, Any]]:
     """Run all `exp_ids` of one config as a single vmapped program."""
     experiments_dir = Path(experiments_dir)
+    jobs = [(cfg, i, experiments_dir / str(i)) for i in exp_ids]
+    return run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose,
+                         epochs_chunk=epochs_chunk, mesh=mesh)
+
+
+_STACKABLE_KEYS = frozenset({
+    "data_file", "obs_method", "obs_ratio", "obs_spatial_pattern",
+    "obs_spatial_intensity", "split_method", "train_ratio",
+    "normalize_target", "tag", "config_id", "base_seed", "n_experiments",
+    "extra", "data_root", "save_plots", "save_artifacts", "n_jobs",
+    "num_workers", "device",
+})
+
+
+def stacking_key(cfg: ExperimentConfig):
+    """Configs whose non-observation fields match compile to the SAME lane
+    program and may share one vmapped batch (see run_job_batch)."""
+    import dataclasses
+    d = dataclasses.asdict(cfg)
+    return tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in d.items() if k not in _STACKABLE_KEYS))
+
+
+def run_job_batch(
+    jobs: List,
+    skip_existing: bool = False,
+    verbose: bool = False,
+    epochs_chunk: int = 100,
+    mesh: Optional[Mesh] = None,
+) -> List[Dict[str, Any]]:
+    """Run heterogeneous (cfg, experiment_id, output_dir) jobs as ONE vmapped
+    program. All cfgs must share a `stacking_key` (identical model/loop
+    hyperparameters); data files and observation designs may differ per lane
+    as long as dataset shapes match. This is config-level stacking: a grid
+    search's same-shaped configs multiply the lane axis instead of running
+    serially (SURVEY.md section 2.4 row 2)."""
     t_start = time.time()
 
     todo = []
-    for i in exp_ids:
-        out = experiments_dir / str(i)
-        if skip_existing and (out / "results.json").exists():
+    for cfg_i, exp_id, out_dir in jobs:
+        if skip_existing and (Path(out_dir) / "results.json").exists():
             continue
-        todo.append(i)
+        todo.append((cfg_i, exp_id, Path(out_dir)))
     if not todo:
         return []
 
+    cfg = todo[0][0]
+    keys0 = {stacking_key(c) for c, _, _ in todo}
+    if len(keys0) != 1:
+        raise ValueError("run_job_batch: configs are not stackable "
+                         "(differing model/loop hyperparameters)")
+
     # -- per-lane setup on host (seed-exact masks) + batched model init ------
     t_phase = time.time()
-    setups = [ExperimentSetup(cfg, i, verbose=False, defer_model=True)
-              for i in todo]
+    setups = []
+    for cfg_i, exp_id, out_dir in todo:
+        s = ExperimentSetup(cfg_i, exp_id, verbose=False, defer_model=True)
+        s.cfg = cfg_i
+        s.out_dir = out_dir
+        setups.append(s)
+    shapes = {(s.T, s.S) for s in setups}
+    if len(shapes) != 1:
+        raise ValueError(f"run_job_batch: dataset shapes differ: {shapes}")
     keys = jnp.stack([jax.random.PRNGKey(s.experiment_seed) for s in setups])
     needs_coords = cfg.spatial_init_method in ("gmm", "random_site",
                                                "kmeans_balanced")
@@ -237,9 +296,10 @@ def run_experiment_batch(
         lane_hist = {k: v[li] for k, v in history_b.items()}
         fit_res: FitResult = assemble_result(spec, lane_carry, lane_hist,
                                              lr_recorded, epochs_done)
-        out_dir = experiments_dir / str(s.experiment_id)
+        out_dir = s.out_dir
+        out_dir.mkdir(parents=True, exist_ok=True)
         r = finalize_experiment(
-            cfg, s, fit_res, out_dir, per_lane_time, verbose=False,
+            s.cfg, s, fit_res, out_dir, per_lane_time, verbose=False,
             stage_timings={"setup_seconds": t_setup / M,
                            "train_seconds": (t_train - t_setup) / M},
             precomputed=precomputed_lanes[li] if precomputed_lanes else None)

@@ -162,3 +162,52 @@ class TestGridSearchEndToEnd:
         df = pd.read_csv(out / "grid_search_summary.csv")
         assert len(df) == 2
         assert df["n_experiments"].tolist() == [2, 2]
+
+
+class TestConfigStacking:
+    def test_stacked_grid_matches_per_config(self, toy_csv, tmp_path):
+        """Config-level stacking must produce the same per-config results as
+        running each config's batch separately (identical seeds/masks)."""
+        base = dict(
+            data_file=str(toy_csv), k_spatial_centers=[9],
+            k_temporal_centers=[4], hidden_dims=[16, 8], dropout=0.0,
+            epochs=5, lr=5e-3, batch_size=64, patience=50,
+            regression_type="mean", obs_method="site-wise",
+            split_method="random", n_experiments=2, base_seed=3,
+            use_pallas=False, save_plots=False, save_artifacts=False)
+        grid = {"obs_ratio": [0.5, 0.6]}
+
+        out_stacked = tmp_path / "stacked"
+        rs = run_grid_search(base, grid, out_stacked, engine="vmap")
+        assert all(r["status"] == "success" for r in rs)
+
+        # reference: each config separately through the batch engine
+        from st_dadk_tpu.train.batch_engine import run_experiment_batch
+        from st_dadk_tpu.sweep.grid import generate_config_combinations
+        configs = generate_config_combinations(base, grid)
+        for c in configs:
+            sep = run_experiment_batch(
+                ExperimentConfig.from_dict(c), [1, 2],
+                tmp_path / "sep" / c["tag"])
+            for e, r_sep in zip((1, 2), sep):
+                with open(out_stacked / c["tag"] / "experiments" / str(e)
+                          / "results.json") as f:
+                    r_st = json.load(f)
+                # same masks/init; trained in a stacked batch whose shared
+                # caps may differ slightly -> close, not necessarily equal
+                assert np.isclose(r_st["test_rmse"], r_sep["test_rmse"],
+                                  rtol=0.05), (c["tag"], e)
+
+    def test_unstackable_configs_split_buckets(self, toy_csv, tmp_path):
+        base = dict(
+            data_file=str(toy_csv), k_spatial_centers=[9],
+            k_temporal_centers=[4], hidden_dims=[16, 8], dropout=0.0,
+            epochs=4, lr=5e-3, batch_size=64, patience=50,
+            regression_type="mean", obs_method="site-wise", obs_ratio=0.5,
+            split_method="random", n_experiments=1, base_seed=3,
+            use_pallas=False, save_plots=False, save_artifacts=False)
+        # spatial_learnable changes the compiled program -> separate buckets
+        grid = {"spatial_learnable": [False, True]}
+        rs = run_grid_search(base, grid, tmp_path / "g", engine="vmap")
+        assert all(r["status"] == "success" for r in rs)
+        assert rs[0]["summary"]["n_experiments"] == 1
