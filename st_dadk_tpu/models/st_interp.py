@@ -207,6 +207,38 @@ def trunk(spec: ModelSpec, params: Params, features: jax.Array,
     return h
 
 
+def forward_inference_fused(spec: ModelSpec, params: Params,
+                            consts: Consts, coords: jax.Array,
+                            t: jax.Array) -> jax.Array:
+    """Inference forward with the Pallas fused basis->layer-1 kernel: the
+    (N, k) basis matrix never touches HBM (ops.pallas_fused). Eval-mode only
+    (no dropout); requires p_covariates == 0 and a TPU backend — callers
+    fall back to `forward` otherwise. Output equals forward(train=False)."""
+    from st_dadk_tpu.ops.pallas_fused import fused_basis_matmul
+
+    centers, bandwidths = spatial_params(spec, params, consts)
+    mlp = params["mlp"]
+    w0 = mlp["linear_0"]["w"]
+    k_s = spec.k_spatial
+    h = fused_basis_matmul(coords, centers, bandwidths, w0[:k_s],
+                           spec.spatial_basis_function)
+    psi = temporal_basis_embed(t, consts["temporal_centers"],
+                               consts["temporal_bandwidths"])
+    h = h + psi @ w0[k_s:] + mlp["linear_0"]["b"]
+    for i in range(len(spec.hidden_dims)):
+        if i > 0:
+            lin = mlp[f"linear_{i}"]
+            h = h @ lin["w"] + lin["b"]
+        if spec.layernorm:
+            ln = mlp[f"ln_{i}"]
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+            h = h * ln["scale"] + ln["bias"]
+        h = jax.nn.relu(h)
+    return head(spec, params, h)
+
+
 def head(spec: ModelSpec, params: Params, h: jax.Array) -> jax.Array:
     mlp = params["mlp"]
     if spec.delta_head:

@@ -698,9 +698,16 @@ def _predict_chunked_raw(spec_model: ModelSpec, params: Params,
     C = coords.shape[0] // n_chunks
     coords = coords.reshape(n_chunks, C, 2)
     t = t.reshape(n_chunks, C, 1)
+    # dense inference uses the fused Pallas basis->layer-1 kernel (the (N,k)
+    # basis matrix stays in VMEM); plain forward elsewhere
+    use_fused = spec_model.use_pallas and spec_model.p == 0
 
     def body(_, xs):
         ck, tk = xs
+        if use_fused:
+            from st_dadk_tpu.models.st_interp import forward_inference_fused
+            return None, forward_inference_fused(spec_model, params, consts,
+                                                 ck, tk)
         return None, forward(spec_model, params, consts, None, ck, tk,
                              train=False)
     _, preds = jax.lax.scan(body, None, (coords, t))
