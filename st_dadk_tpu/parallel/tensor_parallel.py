@@ -38,8 +38,10 @@ Params = Dict[str, Any]
 def to_tp_params(spec: ModelSpec, params: Params, consts: Dict[str, Any],
                  n_dev: int) -> Tuple[Params, Dict[str, Any]]:
     """Convert a standard param tree to the TP layout, padding the center
-    dimension to a multiple of n_dev. Padded centers sit far outside the
-    domain with zero weight rows, contributing exactly nothing."""
+    dimension to a multiple of n_dev. Padded centers sit at 0.5 (inside the
+    domain, so center penalties see zero violation) with ZERO weight rows —
+    the zero rows are what guarantees the pads contribute nothing to the
+    forward and receive no gradient."""
     if spec.p != 0:
         raise NotImplementedError("TP basis sharding requires p_covariates=0")
     k, k_t = spec.k_spatial, spec.k_temporal
@@ -54,7 +56,7 @@ def to_tp_params(spec: ModelSpec, params: Params, consts: Dict[str, Any],
                                 jnp.full(shape, value, jnp.asarray(x).dtype)])
 
     tp_consts = {
-        "spatial_centers_init": pad_rows(consts["spatial_centers_init"], 1e6),
+        "spatial_centers_init": pad_rows(consts["spatial_centers_init"], 0.5),
         "spatial_bandwidths_init": pad_rows(consts["spatial_bandwidths_init"], 1.0),
         "temporal_centers": jnp.asarray(consts["temporal_centers"]),
         "temporal_bandwidths": jnp.asarray(consts["temporal_bandwidths"]),
@@ -75,7 +77,7 @@ def to_tp_params(spec: ModelSpec, params: Params, consts: Dict[str, Any],
     tp_params: Params = {"mlp": tp_mlp}
     if spec.spatial_learnable:
         tp_params["basis"] = {
-            "centers": pad_rows(params["basis"]["centers"], 1e6),
+            "centers": pad_rows(params["basis"]["centers"], 0.5),
             "log_bandwidths": pad_rows(params["basis"]["log_bandwidths"], 0.0),
         }
     return tp_params, tp_consts
@@ -164,3 +166,98 @@ def place_tp(tree: Params, specs: Params, mesh: Mesh) -> Params:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
         is_leaf=lambda x: isinstance(x, P))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel TRAINING step
+# ---------------------------------------------------------------------------
+
+def _tp_forward_train(spec: ModelSpec, params: Params, consts: Dict[str, Any],
+                      coords, t, axis: str, n_dev: int, rng):
+    """TP forward in train mode. Dropout masks are applied to the post-psum
+    (replicated) activations with the same rng on every device, so the
+    computation is bitwise-equivalent to the unsharded forward."""
+    mlp = params["mlp"]
+    if spec.spatial_learnable:
+        centers = params["basis"]["centers"]
+        bandwidths = jnp.exp(params["basis"]["log_bandwidths"])
+    else:
+        centers = consts["spatial_centers_init"]
+        bandwidths = consts["spatial_bandwidths_init"]
+    phi_local = spatial_basis_embed(coords, centers, bandwidths,
+                                    spec.spatial_basis_function)
+    partial = phi_local @ mlp["w0_spatial"]
+    psi = temporal_basis_embed(t, consts["temporal_centers"],
+                               consts["temporal_bandwidths"])
+    rep = psi @ mlp["w0_temporal"] + mlp["b0"]
+    h = jax.lax.psum(partial + rep / n_dev, axis)
+
+    for i in range(len(spec.hidden_dims)):
+        if i > 0:
+            lin = mlp[f"linear_{i}"]
+            h = h @ lin["w"] + lin["b"]
+        if spec.layernorm:
+            h = _ln(h, mlp[f"ln_{i}"])
+        h = jax.nn.relu(h)
+        if spec.dropout > 0.0 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - spec.dropout, h.shape)
+            h = jnp.where(keep, h / (1.0 - spec.dropout), 0.0)
+    return head(spec, {"mlp": mlp}, h)
+
+
+def make_tp_train_step(spec: ModelSpec, mesh: Mesh, axis: str = "tp",
+                       regression: str = "mean",
+                       quantile_levels=None,
+                       domain_penalty_weight: float = 0.0,
+                       weight_decay: float = 0.0):
+    """Jitted tensor-parallel train step: the batch is REPLICATED, the basis
+    axis (centers, bandwidths, first-layer spatial rows) is SHARDED.
+
+    Gradients of sharded leaves are purely local (their only cross-device
+    dependency is the activation psum, whose backward is handled by
+    shard_map autodiff); gradients of replicated leaves come out identical
+    on every device, so a plain AdamW update keeps the layout consistent.
+
+    step(tp_params, opt_state, consts, coords, t, y, w, lrs, rng)
+      -> (tp_params, opt_state, loss)
+    """
+    from st_dadk_tpu.ops.losses import mse_loss, multi_quantile_loss
+    from st_dadk_tpu.train.optimizer import adamw_update, lr_tree_for
+
+    n_dev = mesh.shape[axis]
+    q = (jnp.asarray(quantile_levels, jnp.float32)
+         if quantile_levels is not None else None)
+
+    def _step(params, opt_state, consts, coords, t, y, w, lrs, rng):
+        def loss_fn(p):
+            preds = _tp_forward_train(spec, p, consts, coords, t, axis,
+                                      n_dev, rng)
+            if regression == "multi-quantile":
+                loss = multi_quantile_loss(preds, y, q, w)
+            else:
+                loss = mse_loss(preds, y, w)
+            if spec.spatial_learnable and domain_penalty_weight > 0:
+                c = p["basis"]["centers"]
+                viol = jax.nn.relu(-c) + jax.nn.relu(c - 1.0)
+                loss = loss + domain_penalty_weight * jax.lax.psum(
+                    jnp.sum(viol ** 2), axis)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        lr_tree = lr_tree_for(params, lrs[0], lrs[1])
+        params, opt_state = adamw_update(params, grads, opt_state, lr_tree,
+                                         weight_decay)
+        return params, opt_state, loss
+
+    p_specs = tp_param_specs(spec, axis)
+    c_specs = tp_consts_specs(axis)
+    rep = P()
+    mapped = shard_map(
+        _step, mesh=mesh,
+        in_specs=(p_specs, {"m": p_specs, "v": p_specs, "step": rep},
+                  c_specs, rep, rep, rep, rep, rep, rep),
+        out_specs=(p_specs, {"m": p_specs, "v": p_specs, "step": rep}, rep),
+        check_rep=False,
+    )
+    return jax.jit(mapped)

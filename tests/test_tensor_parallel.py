@@ -55,3 +55,64 @@ def test_tp_rejects_covariates():
     params, consts = init_model(jax.random.PRNGKey(0), spec)
     with pytest.raises(NotImplementedError):
         to_tp_params(spec, params, consts, 4)
+
+
+class TestTPTrainStep:
+    def test_one_step_matches_unsharded(self):
+        """A TP train step must update parameters identically (up to f32
+        noise) to the unsharded step on the same replicated batch."""
+        from st_dadk_tpu.parallel.tensor_parallel import (
+            make_tp_train_step, to_tp_params, tp_param_specs,
+            tp_consts_specs, place_tp)
+        from st_dadk_tpu.train.optimizer import (adamw_init, adamw_update,
+                                                 lr_tree_for)
+        from st_dadk_tpu.ops.losses import mse_loss
+        from st_dadk_tpu.models.st_interp import forward
+
+        n_dev = 4
+        mesh = make_mesh({"tp": n_dev}, jax.devices()[:n_dev])
+        spec = ModelSpec(k_spatial_centers=(25, 81), k_temporal_centers=(4,),
+                         hidden_dims=(32, 16), dropout=0.0,
+                         spatial_learnable=True)
+        params, consts = init_model(jax.random.PRNGKey(0), spec)
+        rng = np.random.default_rng(2)
+        coords = jnp.asarray(rng.uniform(size=(64, 2)), jnp.float32)
+        t = jnp.asarray(rng.uniform(size=(64, 1)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(64, 1)), jnp.float32)
+        w = jnp.ones((64,), jnp.float32)
+        lrs = jnp.asarray([1e-2, 1e-3], jnp.float32)
+
+        # unsharded single step (same loss: mse + domain penalty weight 0.01)
+        def loss_fn(p):
+            preds = forward(spec, p, consts, None, coords, t, train=False)
+            loss = mse_loss(preds, y, w)
+            c = p["basis"]["centers"]
+            viol = jax.nn.relu(-c) + jax.nn.relu(c - 1.0)
+            return loss + 0.01 * jnp.sum(viol ** 2)
+
+        loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+        p_ref, _ = adamw_update(params, grads, adamw_init(params),
+                                lr_tree_for(params, lrs[0], lrs[1]), 0.0)
+
+        # TP step
+        tp_params, tp_consts = to_tp_params(spec, params, consts, n_dev)
+        tp_params = place_tp(tp_params, tp_param_specs(spec), mesh)
+        tp_consts = place_tp(tp_consts, tp_consts_specs(), mesh)
+        tp_opt = adamw_init(tp_params)
+        step = make_tp_train_step(spec, mesh, domain_penalty_weight=0.01)
+        tp_new, _, loss_tp = step(tp_params, tp_opt, tp_consts, coords, t, y,
+                                  w, lrs, None)
+
+        assert np.isclose(float(loss_tp), float(loss_ref), rtol=1e-5)
+        # sharded leaves: compare the real (unpadded) rows
+        k = spec.k_spatial
+        got_w0 = np.asarray(tp_new["mlp"]["w0_spatial"])[:k]
+        want_w0 = np.asarray(p_ref["mlp"]["linear_0"]["w"])[:k]
+        assert np.allclose(got_w0, want_w0, atol=5e-5)
+        got_c = np.asarray(tp_new["basis"]["centers"])[:k]
+        want_c = np.asarray(p_ref["basis"]["centers"])
+        assert np.allclose(got_c, want_c, atol=5e-5)
+        # replicated leaves
+        assert np.allclose(np.asarray(tp_new["mlp"]["linear_1"]["w"]),
+                           np.asarray(p_ref["mlp"]["linear_1"]["w"]),
+                           atol=5e-5)
