@@ -24,24 +24,32 @@
 
 namespace {
 
+// Sites are keyed on the FLOAT64 bit patterns of (x, y) — the same values
+// pandas factorize sees — so coordinates distinct only beyond float32
+// precision stay distinct sites and site_to_idx keys match the CSV's doubles
+// exactly (ADVICE r1: float32 keys silently merged sites and broke
+// predictions_to_csv lookups).
 struct XY {
-    uint32_t xb, yb;
+    uint64_t xb, yb;
     bool operator==(const XY& o) const { return xb == o.xb && yb == o.yb; }
 };
 
+inline uint64_t mix64(uint64_t v) {
+    // splitmix64 finalizer
+    v += 0x9e3779b97f4a7c15ULL;
+    v = (v ^ (v >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    v = (v ^ (v >> 27)) * 0x94d049bb133111ebULL;
+    return v ^ (v >> 31);
+}
+
 struct XYHash {
     size_t operator()(const XY& k) const {
-        uint64_t v = (uint64_t(k.xb) << 32) | k.yb;
-        // splitmix64 finalizer
-        v += 0x9e3779b97f4a7c15ULL;
-        v = (v ^ (v >> 30)) * 0xbf58476d1ce4e5b9ULL;
-        v = (v ^ (v >> 27)) * 0x94d049bb133111ebULL;
-        return size_t(v ^ (v >> 31));
+        return size_t(mix64(k.xb ^ mix64(k.yb)));
     }
 };
 
-inline uint32_t f32_bits(float f) {
-    uint32_t b;
+inline uint64_t f64_bits(double f) {
+    uint64_t b;
     std::memcpy(&b, &f, sizeof(b));
     return b;
 }
@@ -71,8 +79,9 @@ extern "C" {
 
 // Returns 0 on success. Caller frees z_out/coords_out with stdadk_free.
 //   z_out      : T*S floats (row-major, NaN-initialized)
-//   coords_out : S*2 floats
-int stdadk_load_csv(const char* path, float** z_out, float** coords_out,
+//   coords_out : S*2 doubles (exact parsed values; caller downcasts for
+//                device arrays, keeps doubles for the site index)
+int stdadk_load_csv(const char* path, float** z_out, double** coords_out,
                     int64_t* T_out, int64_t* S_out, int64_t* rows_out) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return 1;
@@ -105,8 +114,10 @@ int stdadk_load_csv(const char* path, float** z_out, float** coords_out,
     int ncols = int(cols.size());
     p = nl + 1;
 
-    // first pass: parse every row into flat arrays
-    std::vector<float> xs, ys, zs;
+    // first pass: parse every row into flat arrays (x/y kept as the exact
+    // parsed doubles so the site index matches pandas factorize semantics)
+    std::vector<double> xs, ys;
+    std::vector<float> zs;
     std::vector<int64_t> ts;
     xs.reserve(1 << 17); ys.reserve(1 << 17);
     int64_t t_max = 1;
@@ -130,8 +141,8 @@ int stdadk_load_csv(const char* path, float** z_out, float** coords_out,
         while (p < end && *p != '\n') ++p;
         if (p < end) ++p;
         if (c <= (ix > iy ? ix : iy)) continue;
-        xs.push_back(float(vals[ix]));
-        ys.push_back(float(vals[iy]));
+        xs.push_back(vals[ix]);
+        ys.push_back(vals[iy]);
         if (it >= 0 && it < c) {
             int64_t tv = int64_t(vals[it]);
             ts.push_back(tv);
@@ -143,14 +154,14 @@ int stdadk_load_csv(const char* path, float** z_out, float** coords_out,
     }
 
     const int64_t n = int64_t(xs.size());
-    // site index: first-appearance order over exact float bit patterns
+    // site index: first-appearance order over exact float64 bit patterns
     std::unordered_map<XY, int32_t, XYHash> site_index;
     site_index.reserve(size_t(n));
     std::vector<int32_t> codes(static_cast<size_t>(n));
-    std::vector<float> coords;
+    std::vector<double> coords;
     coords.reserve(4096);
     for (int64_t i = 0; i < n; ++i) {
-        XY key{f32_bits(xs[size_t(i)]), f32_bits(ys[size_t(i)])};
+        XY key{f64_bits(xs[size_t(i)]), f64_bits(ys[size_t(i)])};
         auto ins = site_index.emplace(key, int32_t(site_index.size()));
         if (ins.second) {
             coords.push_back(xs[size_t(i)]);
@@ -162,10 +173,10 @@ int stdadk_load_csv(const char* path, float** z_out, float** coords_out,
     const int64_t S = int64_t(site_index.size());
     const int64_t T = (it >= 0) ? t_max : 1;
     float* z = static_cast<float*>(std::malloc(sizeof(float) * size_t(T * S)));
-    float* cd = static_cast<float*>(std::malloc(sizeof(float) * size_t(S * 2)));
+    double* cd = static_cast<double*>(std::malloc(sizeof(double) * size_t(S * 2)));
     if (!z || !cd) { std::free(z); std::free(cd); return 5; }
     for (int64_t i = 0; i < T * S; ++i) z[i] = NAN;
-    std::memcpy(cd, coords.data(), sizeof(float) * size_t(S * 2));
+    std::memcpy(cd, coords.data(), sizeof(double) * size_t(S * 2));
     for (int64_t i = 0; i < n; ++i) {
         int64_t t_idx = ts[size_t(i)] - 1;
         if (t_idx < 0 || t_idx >= T) continue;

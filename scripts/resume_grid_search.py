@@ -24,8 +24,7 @@ def discover_config_dirs(results_dir: Path):
     dirs = []
     for cfg_file in sorted(results_dir.glob("**/config.yaml")):
         cdir = cfg_file.parent
-        if (cdir / "experiments").exists() or not any(
-                (cdir / d).exists() for d in ("experiments",)):
+        if (cdir / "experiments").exists():
             dirs.append(cdir)
     return dirs
 

@@ -55,10 +55,13 @@ def load_kaust_csv_single(
 
     native = load_csv_native(data_path)
     if native is not None:
-        z_data, coords, n_rows = native
+        z_data, coords64, n_rows = native
         T, S = z_data.shape
+        # site_to_idx keys must be the CSV's exact float64 values (what
+        # predictions_to_csv looks up); coords downcast only for the model
         site_to_idx = {(float(x), float(y)): i
-                       for i, (x, y) in enumerate(coords)}
+                       for i, (x, y) in enumerate(coords64)}
+        coords = coords64.astype(np.float32)
         if verbose:
             print(f"[INFO] Loaded data: {n_rows} rows (native)")
             print(f"[INFO] Total sites: {S}")

@@ -34,7 +34,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 lib.stdadk_load_csv.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
                     ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_int64),
@@ -55,13 +55,17 @@ def native_available() -> bool:
 
 def load_csv_native(path: str | Path
                     ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
-    """Returns (z (T,S) float32, coords (S,2) float32, n_rows) or None when
-    the native library is unavailable or parsing fails."""
+    """Returns (z (T,S) float32, coords (S,2) float64, n_rows) or None when
+    the native library is unavailable or parsing fails.
+
+    Coords come back as the exact parsed doubles so the site index matches
+    the pandas path's float64 factorize semantics; callers downcast to
+    float32 for device arrays."""
     lib = _get_lib()
     if lib is None:
         return None
     z_ptr = ctypes.POINTER(ctypes.c_float)()
-    c_ptr = ctypes.POINTER(ctypes.c_float)()
+    c_ptr = ctypes.POINTER(ctypes.c_double)()
     T = ctypes.c_int64()
     S = ctypes.c_int64()
     rows = ctypes.c_int64()

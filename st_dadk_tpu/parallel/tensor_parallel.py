@@ -40,8 +40,10 @@ def to_tp_params(spec: ModelSpec, params: Params, consts: Dict[str, Any],
     """Convert a standard param tree to the TP layout, padding the center
     dimension to a multiple of n_dev. Padded centers sit at 0.5 (inside the
     domain, so center penalties see zero violation) with ZERO weight rows —
-    the zero rows are what guarantees the pads contribute nothing to the
-    forward and receive no gradient."""
+    the zero rows guarantee the pads contribute nothing to the FORWARD.
+    They do NOT guarantee zero gradient (phi at the pad centers is nonzero,
+    so dL/dW0 pad rows are nonzero); `make_tp_train_step` masks the pad-row
+    gradients and pins the pad rows to keep them inert under training."""
     if spec.p != 0:
         raise NotImplementedError("TP basis sharding requires p_covariates=0")
     k, k_t = spec.k_spatial, spec.k_temporal
@@ -245,9 +247,41 @@ def make_tp_train_step(spec: ModelSpec, mesh: Mesh, axis: str = "tp",
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+
+        # Pad rows (global row >= k_spatial, on the last shard) must stay
+        # inert. phi at the pad centers is NONZERO over the whole domain, so
+        # the zero w0_spatial pad rows still receive gradient (dL/dW0 =
+        # phi^T dL/dh); left unmasked, AdamW drives them off zero and the
+        # pads become phantom basis functions. Mask sharded-leaf grads with
+        # a static row-validity mask, then pin the pad rows of params after
+        # the update (decoupled weight decay would otherwise shrink the pad
+        # centers even under zero gradient).
+        k_loc = grads["mlp"]["w0_spatial"].shape[0]
+        rows = jax.lax.axis_index(axis) * k_loc + jnp.arange(k_loc)
+        valid = rows < spec.k_spatial
+
+        def mask_rows(g):
+            m = valid.reshape((-1,) + (1,) * (g.ndim - 1))
+            return g * m.astype(g.dtype)
+
+        grads["mlp"]["w0_spatial"] = mask_rows(grads["mlp"]["w0_spatial"])
+        if spec.spatial_learnable:
+            grads["basis"] = jax.tree_util.tree_map(mask_rows, grads["basis"])
+
         lr_tree = lr_tree_for(params, lrs[0], lrs[1])
+        prev = params
         params, opt_state = adamw_update(params, grads, opt_state, lr_tree,
                                          weight_decay)
+
+        def pin(new, old):
+            m = valid.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        params["mlp"]["w0_spatial"] = pin(params["mlp"]["w0_spatial"],
+                                          prev["mlp"]["w0_spatial"])
+        if spec.spatial_learnable:
+            params["basis"] = jax.tree_util.tree_map(
+                pin, params["basis"], prev["basis"])
         return params, opt_state, loss
 
     p_specs = tp_param_specs(spec, axis)

@@ -224,8 +224,27 @@ def run_job_batch(
 
     spec = LoopSpec.from_config(cfg, spec_model, batch_size, B_shared,
                                 val_chunk, n_val_chunks)
-    lr_mlp, lr_basis, lr_recorded = build_lr_tables(cfg, B_shared)
-    lr_steps = np.stack([lr_mlp, lr_basis], -1).reshape(cfg.epochs, B_shared, 2)
+    # Per-lane LR tables: warmup pacing depends on the lane's OWN batches
+    # per epoch (W = warmup_epochs * B_lane), which can differ across lanes
+    # when observation counts straddle a ceil(n/batch) boundary. Lanes with
+    # B_lane < B_shared get their surplus steps padded with the last real
+    # step's LR (those steps are masked in the loop anyway).
+    lr_tabs, lr_recorded_lanes = [], []
+    lr_cache: Dict[int, Any] = {}
+    for data in datas:
+        B_lane = int(data.n_batches)
+        if B_lane not in lr_cache:
+            lm, lb, lrec = build_lr_tables(cfg, B_lane)
+            tab = np.stack([lm, lb], -1).reshape(cfg.epochs, B_lane, 2)
+            if B_lane < B_shared:
+                tab = np.concatenate(
+                    [tab, np.repeat(tab[:, -1:], B_shared - B_lane, axis=1)],
+                    axis=1)
+            lr_cache[B_lane] = (tab, lrec)
+        tab, lrec = lr_cache[B_lane]
+        lr_tabs.append(tab)
+        lr_recorded_lanes.append(lrec)
+    lr_steps = np.stack(lr_tabs)          # (M, epochs, B_shared, 2)
 
     # -- shard the experiment axis over the mesh ------------------------------
     mesh = mesh or experiment_mesh(cfg.mesh_axis)
@@ -237,12 +256,14 @@ def run_job_batch(
             lambda x: jnp.concatenate(
                 [x, jnp.repeat(x[-1:], pad_lanes, axis=0)]), t)
         data_b, carry_b, consts_b = dup(data_b), dup(carry_b), dup(consts_b)
+        lr_steps = np.concatenate(
+            [lr_steps, np.repeat(lr_steps[-1:], pad_lanes, axis=0)])
 
     lane_sharding = NamedSharding(mesh, P(cfg.mesh_axis))
     shard = lambda t: jax.device_put(t, lane_sharding)
     data_b, carry_b, consts_b = shard(data_b), shard(carry_b), shard(consts_b)
 
-    fit_chunk = jitted_fit_chunk(spec, vmapped=True)
+    fit_chunk = jitted_fit_chunk(spec, vmapped=True, lr_per_lane=True)
 
     # -- chunked epoch loop (early exit when every lane has stopped) ----------
     E = cfg.epochs
@@ -252,13 +273,14 @@ def run_job_batch(
     while epochs_done < E:
         c = min(chunk, E - epochs_done)
         ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
-        lr_c = jnp.asarray(lr_steps[epochs_done:epochs_done + c])
+        lr_c = jnp.asarray(lr_steps[:, epochs_done:epochs_done + c])
         active = jnp.ones((chunk,), bool)
         if c != chunk:
             pad = chunk - c
             ids = jnp.concatenate([ids, jnp.full((pad,), E - 1, jnp.int32)])
-            lr_c = jnp.concatenate([lr_c, jnp.repeat(lr_c[-1:], pad, 0)])
+            lr_c = jnp.concatenate([lr_c, jnp.repeat(lr_c[:, -1:], pad, 1)], 1)
             active = active.at[c:].set(False)
+        lr_c = jax.device_put(lr_c, lane_sharding)
         carry_b, hist = fit_chunk(carry_b, consts_b, data_b, ids, lr_c, active)
         hists.append(jax.tree_util.tree_map(
             lambda x: np.asarray(x[:, :c]), hist))
@@ -295,7 +317,7 @@ def run_job_batch(
         lane_carry = _lane(carry_host, li)
         lane_hist = {k: v[li] for k, v in history_b.items()}
         fit_res: FitResult = assemble_result(spec, lane_carry, lane_hist,
-                                             lr_recorded, epochs_done)
+                                             lr_recorded_lanes[li], epochs_done)
         out_dir = s.out_dir
         out_dir.mkdir(parents=True, exist_ok=True)
         r = finalize_experiment(

@@ -160,7 +160,8 @@ def run_single_experiment(
         q_dir = output_dir / f"quantile_{q}"
         q_dir.mkdir(parents=True, exist_ok=True)
         q_cfg = cfg.replace(regression_type="quantile", current_quantile=q)
-        if skip_existing and (q_dir / "results.json").exists():
+        if skip_existing and (q_dir / "results.json").exists() \
+                and (q_dir / "predictions.npz").exists():
             import json
             with open(q_dir / "results.json") as f:
                 quantile_results[q] = json.load(f)
@@ -466,6 +467,14 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                  temporal_bandwidths_init=np.asarray(consts["temporal_bandwidths"]),
                  temporal_bandwidths_final=np.asarray(consts["temporal_bandwidths"]))
 
+    # split predictions feed the separate-models-per-tau CRPS aggregation,
+    # which runs regardless of save_artifacts — compute them for quantile
+    # fits even when artifacts are off (the dense field is cheap relative
+    # to the fit)
+    if cfg.save_artifacts or cfg.regression_type == "quantile":
+        if all_predictions is None:
+            all_predictions = dense_field_prediction(cfg, spec, result.params,
+                                                     consts, T, coords)
         split_predictions = {
             "train": all_predictions[train_mask],
             "test": all_predictions[test_mask],

@@ -268,6 +268,24 @@ def _validate(spec: LoopSpec, ema: Params, consts: Dict[str, Any],
 # Epoch
 # ---------------------------------------------------------------------------
 
+def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
+                        n_batches_lane: jax.Array) -> jax.Array:
+    """(B, bs) shuffled point indices for one epoch.
+
+    In a stacked batch a lane may have fewer real batches than the shared
+    capacity (B_lane < B). Only batches b < B_lane execute, so real points
+    permuted into the surplus batches would silently be skipped this epoch.
+    Stable-partition the permutation so the lane's own capacity
+    (B_lane*bs indices, a superset of its real points) fills the executed
+    batches — filtering a uniform permutation preserves uniformity, and when
+    B_lane == B the partition is the identity reorder.
+    """
+    perm = jax.random.permutation(perm_key, cap)
+    cap_lane = n_batches_lane * bs
+    perm = perm[jnp.argsort(perm >= cap_lane, stable=True)]
+    return perm[: B * bs].reshape(B, bs)
+
+
 def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
                carry: Dict[str, Any],
                epoch_xs: Tuple[jax.Array, jax.Array, jax.Array]
@@ -280,8 +298,7 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
 
     key = jax.random.fold_in(carry["key"], epoch_idx)
     perm_key, drop_key = jax.random.split(key)
-    perm = jax.random.permutation(perm_key, cap)
-    batch_idx = perm[: B * bs].reshape(B, bs)
+    batch_idx = epoch_batch_indices(perm_key, cap, bs, B, data.n_batches)
 
     def train_step(step_carry, xs):
         params, opt_state, ema, nan_epoch, loss_sum = step_carry
@@ -392,14 +409,19 @@ def make_epoch_scan(spec: LoopSpec):
     return fn
 
 
-def jitted_fit_chunk(spec: LoopSpec, vmapped: bool):
-    """Process-cached jitted (optionally vmapped) whole-fit chunk program."""
-    key = (spec, vmapped)
+def jitted_fit_chunk(spec: LoopSpec, vmapped: bool, lr_per_lane: bool = False):
+    """Process-cached jitted (optionally vmapped) whole-fit chunk program.
+
+    With `lr_per_lane`, the LR table carries a leading lane axis — lanes of a
+    stacked batch with different real batch counts get their own warmup
+    pacing (the reference paces warmup by each fit's own batches/epoch)."""
+    key = (spec, vmapped, lr_per_lane)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         base = make_epoch_scan(spec)
         if vmapped:
-            base = jax.vmap(base, in_axes=(0, 0, 0, None, None, None))
+            lr_ax = 0 if lr_per_lane else None
+            base = jax.vmap(base, in_axes=(0, 0, 0, None, lr_ax, None))
         fn = jax.jit(base, donate_argnums=(0,))
         _JIT_CACHE[key] = fn
     return fn

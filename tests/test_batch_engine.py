@@ -102,6 +102,41 @@ class TestBatchEngine:
         assert (out / "1" / "results.json").stat().st_mtime == t0
 
 
+class TestUnequalLaneCapacity:
+    def test_epoch_indices_cover_lane_capacity(self):
+        """A lane with B_lane < B must see ALL of its own capacity in its
+        executed batches each epoch (regression: real points permuted into
+        surplus batches were silently skipped)."""
+        import jax
+        from st_dadk_tpu.train.loop import epoch_batch_indices
+        bs, B, B_lane = 32, 5, 3
+        cap = B * bs
+        for seed in range(4):
+            idx = np.asarray(epoch_batch_indices(
+                jax.random.PRNGKey(seed), cap, bs, B,
+                np.asarray(B_lane, np.int32)))
+            executed = idx[:B_lane].ravel()
+            assert set(executed.tolist()) == set(range(B_lane * bs))
+        # full-capacity lane: plain permutation of everything
+        idx = np.asarray(epoch_batch_indices(
+            jax.random.PRNGKey(0), cap, bs, B, np.asarray(B, np.int32)))
+        assert set(idx.ravel().tolist()) == set(range(cap))
+
+    def test_stacked_lanes_with_different_batch_counts(self, toy_csv, tmp_path):
+        """Config-level stacking with different obs_ratio -> different real
+        batch counts per lane; per-lane LR tables + partitioned permutations
+        keep every lane training on all of its data."""
+        from st_dadk_tpu.train.batch_engine import run_job_batch
+        cfg_lo = _cfg(toy_csv, obs_ratio=0.3)
+        cfg_hi = _cfg(toy_csv, obs_ratio=0.9)
+        jobs = [(cfg_lo, 1, tmp_path / "lo"), (cfg_hi, 1, tmp_path / "hi")]
+        results = run_job_batch(jobs, epochs_chunk=8)
+        assert len(results) == 2
+        for r in results:
+            assert np.isfinite(r["test_rmse"])
+            assert np.isfinite(r["training_history"]["train_loss"]).all()
+
+
 class TestMultiQuantileBatch:
     def test_delta_head_lanes(self, toy_csv, tmp_path):
         cfg = _cfg(toy_csv, regression_type="multi-quantile",

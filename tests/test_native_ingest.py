@@ -31,7 +31,7 @@ def _pandas_reference(path):
     df.columns = [c.strip().strip('"') for c in df.columns]
     mi = pd.MultiIndex.from_arrays([df["x"].to_numpy(), df["y"].to_numpy()])
     codes, uniques = mi.factorize()
-    coords = np.asarray(uniques.to_frame().to_numpy(), dtype=np.float32)
+    coords = np.asarray(uniques.to_frame().to_numpy(), dtype=np.float64)
     if "t" in df.columns:
         T = int(df["t"].max())
         t_idx = df["t"].to_numpy(np.int64) - 1
@@ -80,6 +80,32 @@ def test_quoted_header_and_id_column(native_lib, tmp_path):
     assert n == 2 and z.shape == (1, 2)
     assert np.allclose(coords, [[0.5, 0.25], [0.75, 0.1]])
     assert np.allclose(z[0], [1.5, -2.0])
+
+
+def test_float64_distinct_sites(native_lib, tmp_path):
+    """Coordinates distinct only beyond float32 precision must stay distinct
+    sites, and site_to_idx keys must be the CSV's exact float64 values
+    (regression: float32 bit-pattern hashing merged them)."""
+    x0 = 0.123456789012345
+    x1 = x0 + 1e-12                 # same float32, different float64
+    assert np.float32(x0) == np.float32(x1) and x0 != x1
+    csv = tmp_path / "prec.csv"
+    with open(csv, "w") as f:
+        f.write("x,y,z\n")
+        f.write(f"{x0!r},0.5,1.0\n")
+        f.write(f"{x1!r},0.5,2.0\n")
+    from st_dadk_tpu.dataio.native import load_csv_native
+    z, coords, n = load_csv_native(csv)
+    assert n == 2
+    assert z.shape == (1, 2), "float64-distinct sites were merged"
+    assert coords.dtype == np.float64
+    assert coords[0, 0] == x0 and coords[1, 0] == x1
+
+    # the full loader keeps exact doubles as site_to_idx keys
+    from st_dadk_tpu.dataio.kaust import load_kaust_csv_single
+    _, _, meta = load_kaust_csv_single(csv, normalize=False, verbose=False)
+    assert (x0, 0.5) in meta["site_to_idx"]
+    assert (x1, 0.5) in meta["site_to_idx"]
 
 
 def test_real_file_parity(native_lib, ref_data_root):

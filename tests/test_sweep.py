@@ -126,6 +126,24 @@ class TestQuantileSeparateModels:
         assert np.isclose(r["test_rmse"], np.sqrt(r["test_check_loss"]))
         assert (out / "results.json").exists()
 
+    def test_per_tau_without_artifacts(self, toy_csv, tmp_path):
+        """Regression (ADVICE r1): per-tau aggregation with
+        save_artifacts=False crashed with KeyError('_split_predictions')
+        after all fits completed; split predictions must be computed for
+        quantile fits regardless of artifact persistence."""
+        cfg = ExperimentConfig.from_dict(dict(
+            data_file=str(toy_csv), k_spatial_centers=[9],
+            k_temporal_centers=[4], hidden_dims=[16, 8], dropout=0.0,
+            epochs=4, lr=5e-3, batch_size=64, patience=50,
+            regression_type="quantile", quantile_levels=[0.25, 0.75],
+            obs_method="site-wise", obs_ratio=0.5, split_method="random",
+            base_seed=7, use_pallas=False, save_plots=False,
+            save_artifacts=False))
+        out = tmp_path / "exp_noart"
+        r = run_single_experiment(cfg, 1, out, verbose=False)
+        assert np.isfinite(r["test_crps"])
+        assert not (out / "quantile_0.25" / "predictions.npz").exists()
+
     def test_skip_existing_reuses_tau_fits(self, toy_csv, tmp_path):
         cfg = ExperimentConfig.from_dict(dict(
             data_file=str(toy_csv), k_spatial_centers=[9],

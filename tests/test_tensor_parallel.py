@@ -116,3 +116,77 @@ class TestTPTrainStep:
         assert np.allclose(np.asarray(tp_new["mlp"]["linear_1"]["w"]),
                            np.asarray(p_ref["mlp"]["linear_1"]["w"]),
                            atol=5e-5)
+
+    def test_multi_step_pads_stay_inert(self):
+        """With k % n_dev != 0 (25+81=106 centers on 4 devices -> 2 pad
+        rows), several TP train steps must (a) keep the pad rows exactly at
+        their initial values — zero w0 rows, 0.5 centers — and (b) track the
+        unsharded training trajectory. Regression test for the phantom-basis
+        bug: unmasked pad rows of w0_spatial receive nonzero gradient (phi
+        at the pad centers covers the whole domain) and drift off zero."""
+        from st_dadk_tpu.parallel.tensor_parallel import (
+            make_tp_train_step, to_tp_params, tp_param_specs,
+            tp_consts_specs, place_tp, make_tp_forward)
+        from st_dadk_tpu.train.optimizer import (adamw_init, adamw_update,
+                                                 lr_tree_for)
+        from st_dadk_tpu.ops.losses import mse_loss
+        from st_dadk_tpu.models.st_interp import forward
+
+        n_dev = 4
+        n_steps = 5
+        wd = 0.05   # nonzero weight decay exercises the pad-row pinning
+        mesh = make_mesh({"tp": n_dev}, jax.devices()[:n_dev])
+        spec = ModelSpec(k_spatial_centers=(25, 81), k_temporal_centers=(4,),
+                         hidden_dims=(32, 16), dropout=0.0,
+                         spatial_learnable=True)
+        assert spec.k_spatial % n_dev != 0
+        params, consts = init_model(jax.random.PRNGKey(0), spec)
+        rng = np.random.default_rng(2)
+        coords = jnp.asarray(rng.uniform(size=(64, 2)), jnp.float32)
+        t = jnp.asarray(rng.uniform(size=(64, 1)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(64, 1)), jnp.float32)
+        w = jnp.ones((64,), jnp.float32)
+        lrs = jnp.asarray([1e-2, 1e-3], jnp.float32)
+
+        def loss_fn(p):
+            preds = forward(spec, p, consts, None, coords, t, train=False)
+            loss = mse_loss(preds, y, w)
+            c = p["basis"]["centers"]
+            viol = jax.nn.relu(-c) + jax.nn.relu(c - 1.0)
+            return loss + 0.01 * jnp.sum(viol ** 2)
+
+        p_ref, opt_ref = params, adamw_init(params)
+        for _ in range(n_steps):
+            _, grads = jax.value_and_grad(loss_fn)(p_ref)
+            p_ref, opt_ref = adamw_update(
+                p_ref, grads, opt_ref, lr_tree_for(p_ref, lrs[0], lrs[1]), wd)
+
+        tp_params, tp_consts = to_tp_params(spec, params, consts, n_dev)
+        tp_params = place_tp(tp_params, tp_param_specs(spec), mesh)
+        tp_consts = place_tp(tp_consts, tp_consts_specs(), mesh)
+        tp_opt = adamw_init(tp_params)
+        step = make_tp_train_step(spec, mesh, domain_penalty_weight=0.01,
+                                  weight_decay=wd)
+        for _ in range(n_steps):
+            tp_params, tp_opt, _ = step(tp_params, tp_opt, tp_consts, coords,
+                                        t, y, w, lrs, None)
+
+        k = spec.k_spatial
+        # (a) pads exactly at init: zero weight rows, centers 0.5, log_bw 0
+        w0 = np.asarray(tp_params["mlp"]["w0_spatial"])
+        assert np.all(w0[k:] == 0.0), np.abs(w0[k:]).max()
+        c = np.asarray(tp_params["basis"]["centers"])
+        assert np.all(c[k:] == 0.5)
+        lb = np.asarray(tp_params["basis"]["log_bandwidths"])
+        assert np.all(lb[k:] == 0.0)
+        # (b) trajectory parity on the real rows and replicated leaves
+        assert np.allclose(w0[:k], np.asarray(p_ref["mlp"]["linear_0"]["w"])[:k],
+                           atol=2e-4), \
+            np.abs(w0[:k] - np.asarray(p_ref["mlp"]["linear_0"]["w"])[:k]).max()
+        assert np.allclose(c[:k], np.asarray(p_ref["basis"]["centers"]),
+                           atol=2e-4)
+        # (c) TP forward after training still matches the unsharded forward
+        fwd = make_tp_forward(spec, mesh)
+        got = np.asarray(fwd(tp_params, tp_consts, coords, t))
+        want = np.asarray(forward(spec, p_ref, consts, None, coords, t))
+        assert np.allclose(got, want, atol=5e-4), np.abs(got - want).max()

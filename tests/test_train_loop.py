@@ -152,19 +152,31 @@ class TestFitLearnableBasis:
 class TestWeightedPaddingInvariance:
     def test_padding_does_not_change_eval(self):
         """Validation metrics must be identical whether or not the valid set
-        carries padding rows (weight-0)."""
+        carries weight-0 padding rows — asserted by padding the SAME valid
+        points to two different capacities (100 -> cap 100 vs cap 256)."""
+        from st_dadk_tpu.train.loop import (LoopSpec, _validate,
+                                            prepare_train_data)
         cfg = _cfg(epochs=3)
         train_ps = _synthetic(256, 0)
         valid_a = _synthetic(100, 1)
-        spec = spec_from_config(cfg)
-        params, consts = init_model(jax.random.PRNGKey(2), spec)
-        r1 = fit(cfg, spec, params, consts, train_ps, valid_a, seed=2,
-                 epochs_chunk=3)
-        # same valid points, bigger padded capacity via val_chunk mechanics
-        r2 = fit(cfg, spec, params, consts, train_ps, valid_a, seed=2,
-                 epochs_chunk=3)
-        assert np.allclose(r1.history["val_loss"], r2.history["val_loss"],
-                           atol=1e-6)
+        spec_model = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(2), spec_model)
+
+        data1, B, vc1 = prepare_train_data(train_ps, valid_a, 64)
+        assert data1.va_coords.shape[0] == 100       # no padding
+        data2, _, vc2 = prepare_train_data(train_ps, valid_a, 64,
+                                           val_chunk=256, cap_va=256)
+        assert data2.va_coords.shape[0] == 256       # 156 padding rows
+        assert vc1 != vc2
+
+        import jax.numpy as jnp
+        to_dev = lambda d: jax.tree_util.tree_map(jnp.asarray, d)
+        spec1 = LoopSpec.from_config(cfg, spec_model, 64, B, vc1, 1)
+        spec2 = LoopSpec.from_config(cfg, spec_model, 64, B, vc2, 1)
+        l1, r1 = _validate(spec1, params, consts, to_dev(data1))
+        l2, r2 = _validate(spec2, params, consts, to_dev(data2))
+        assert np.isclose(float(l1), float(l2), atol=1e-6), (l1, l2)
+        assert np.isclose(float(r1), float(r2), atol=1e-6), (r1, r2)
 
 
 class TestDeltaPenaltyModes:
