@@ -35,8 +35,10 @@ def main():
     parser.add_argument("--n_jobs", type=int, default=-1,
                         help="compat flag (ignored on TPU)")
     parser.add_argument("--engine", type=str, default=None,
-                        choices=["sequential", "vmap"],
-                        help="experiment dispatch engine")
+                        choices=["sequential", "vmap", "dp"],
+                        help="experiment dispatch engine: sequential fits, "
+                             "one vmapped batch of all repeats, or per-fit "
+                             "data parallelism over all devices")
     parser.add_argument("--start_exp_id", type=int, default=None)
     parser.add_argument("--end_exp_id", type=int, default=None)
     parser.add_argument("--skip-existing", action="store_true")

@@ -132,6 +132,7 @@ def run_single_experiment(
     output_dir: Path,
     verbose: bool = True,
     skip_existing: bool = False,
+    mesh=None,
 ) -> Optional[Dict[str, Any]]:
     """Dispatch by regression type (ref run_single_experiment :1936-2161):
     multi-quantile -> one joint model; quantile with multiple levels -> one
@@ -151,7 +152,8 @@ def run_single_experiment(
        cfg.regression_type == "mean" or len(cfg.quantile_levels) <= 1:
         if cfg.regression_type == "quantile" and cfg.current_quantile is None:
             cfg = cfg.replace(current_quantile=cfg.quantile_levels[0])
-        return _run_one_fit(cfg, experiment_id, output_dir, verbose)
+        return _run_one_fit(cfg, experiment_id, output_dir, verbose,
+                            mesh=mesh)
 
     # quantile regression with multiple levels: one model per tau
     quantile_results: Dict[float, Dict[str, Any]] = {}
@@ -176,7 +178,7 @@ def run_single_experiment(
                 "valid_true": pred["true"][pred["valid_mask"]],
             }
             continue
-        r = _run_one_fit(q_cfg, experiment_id, q_dir, verbose)
+        r = _run_one_fit(q_cfg, experiment_id, q_dir, verbose, mesh=mesh)
         quantile_results[q] = r
         quantile_preds[q] = r.pop("_split_predictions")
 
@@ -307,8 +309,11 @@ def _load_cached(path: Path, normalize: bool, verbose: bool):
 
 
 def _run_one_fit(cfg: ExperimentConfig, experiment_id: int, output_dir: Path,
-                 verbose: bool = True) -> Dict[str, Any]:
-    """One fit end-to-end (ref _run_single_quantile_experiment :2164-2633)."""
+                 verbose: bool = True, mesh=None) -> Dict[str, Any]:
+    """One fit end-to-end (ref _run_single_quantile_experiment :2164-2633).
+
+    With `mesh`, the fit is data-parallel over the mesh's 'data' axis
+    (see st_dadk_tpu.train.loop.fit)."""
     start_time = time.time()
     setup = ExperimentSetup(cfg, experiment_id, verbose)
     t_setup = time.time() - start_time
@@ -321,7 +326,8 @@ def _run_one_fit(cfg: ExperimentConfig, experiment_id: int, output_dir: Path,
     t0 = time.time()
     result: FitResult = fit(cfg, setup.spec, setup.params, setup.consts,
                             setup.train_ps, setup.valid_ps,
-                            seed=setup.experiment_seed, verbose=verbose)
+                            seed=setup.experiment_seed, verbose=verbose,
+                            mesh=mesh)
     t_train = time.time() - t0
     total_time = time.time() - start_time
     return finalize_experiment(cfg, setup, result, output_dir, total_time,

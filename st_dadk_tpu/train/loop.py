@@ -95,6 +95,7 @@ class LoopSpec:
     val_chunk: int = 32768        # validation batch size
     n_val_chunks: int = 1
     record_centers: bool = False
+    dp_axis: Optional[str] = None  # mesh axis for batch-dim data parallelism
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, model: ModelSpec,
@@ -228,7 +229,7 @@ def _transform_grads(spec: LoopSpec, grads: Params, params: Params,
 # ---------------------------------------------------------------------------
 
 def _validate(spec: LoopSpec, ema: Params, consts: Dict[str, Any],
-              data: TrainData) -> Tuple[jax.Array, jax.Array]:
+              data: TrainData, mesh=None) -> Tuple[jax.Array, jax.Array]:
     """Return (val_loss, val_rmse).
 
     val_loss is the mean over validation chunks of per-chunk mean losses
@@ -244,6 +245,7 @@ def _validate(spec: LoopSpec, ema: Params, consts: Dict[str, Any],
 
     def chunk_stats(carry, xs):
         ck, tk, yk, wk = xs
+        ck, tk, yk, wk = _dp_shard(spec, mesh, ck, tk, yk, wk)
         loss = training_loss(spec, ema, consts, ck, tk, yk, wk,
                              train=False, rng=None)
         preds = forward(m, ema, consts, None, ck, tk, train=False)
@@ -268,6 +270,28 @@ def _validate(spec: LoopSpec, ema: Params, consts: Dict[str, Any],
 # Epoch
 # ---------------------------------------------------------------------------
 
+def _dp_shard(spec: LoopSpec, mesh, *arrays):
+    """Constrain the leading (point) axis of batch tensors to the DP mesh
+    axis. Params and the carry stay replicated, so XLA's sharding propagation
+    turns the backward pass into sharded per-device gradients + ONE
+    all-reduce per step — textbook data parallelism, expressed as sharding
+    annotations on the single shared training-loop program rather than a
+    separate shard_map code path (SURVEY.md section 2.4 row 3).
+
+    The training buffers themselves are replicated (KAUST datasets are at
+    most ~MBs), so the reshard after the minibatch gather is a local slice
+    with zero communication.
+    """
+    if mesh is None or spec.dp_axis is None:
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    out = []
+    for a in arrays:
+        s = NamedSharding(mesh, P(spec.dp_axis, *([None] * (a.ndim - 1))))
+        out.append(jax.lax.with_sharding_constraint(a, s))
+    return tuple(out)
+
+
 def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
                         n_batches_lane: jax.Array) -> jax.Array:
     """(B, bs) shuffled point indices for one epoch.
@@ -288,8 +312,8 @@ def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
 
 def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
                carry: Dict[str, Any],
-               epoch_xs: Tuple[jax.Array, jax.Array, jax.Array]
-               ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
+               epoch_xs: Tuple[jax.Array, jax.Array, jax.Array],
+               mesh=None) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
     epoch_idx, lr_epoch, active = epoch_xs    # lr_epoch: (n_batches, 2)
     m = spec.model
     B = spec.n_batches
@@ -303,10 +327,9 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     def train_step(step_carry, xs):
         params, opt_state, ema, nan_epoch, loss_sum = step_carry
         idx, lrs, b = xs
-        coords = data.tr_coords[idx]
-        t = data.tr_t[idx]
-        y = data.tr_y[idx]
-        w = data.tr_w[idx]
+        coords, t, y, w = _dp_shard(spec, mesh, data.tr_coords[idx],
+                                    data.tr_t[idx], data.tr_y[idx],
+                                    data.tr_w[idx])
         rng = jax.random.fold_in(drop_key, b)
 
         loss, grads = jax.value_and_grad(
@@ -342,7 +365,7 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     train_loss = loss_sum / jnp.maximum(data.n_batches.astype(jnp.float32), 1.0)
     train_loss = jnp.where(nan_epoch, jnp.nan, train_loss)
 
-    val_loss, val_rmse = _validate(spec, ema, consts, data)
+    val_loss, val_rmse = _validate(spec, ema, consts, data, mesh=mesh)
 
     improved = jnp.logical_and(jnp.isfinite(val_loss),
                                val_loss < carry["best_val"])
@@ -388,40 +411,50 @@ _EPOCH_SCAN_CACHE: Dict[Any, Any] = {}
 _JIT_CACHE: Dict[Any, Any] = {}
 
 
-def make_epoch_scan(spec: LoopSpec):
+def make_epoch_scan(spec: LoopSpec, mesh=None):
     """Build fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active)
     scanning a block of epochs. Pure; jit/vmap-friendly.
 
-    Cached by spec: jit executables are keyed on function identity, so a
-    fresh closure per call would force a full recompile of the whole-fit
-    program on every batch (tens of seconds through the remote-compile
-    tunnel vs <1s to run it)."""
-    fn = _EPOCH_SCAN_CACHE.get(spec)
+    With a `mesh` and spec.dp_axis set, minibatches are sharded over the
+    mesh's dp axis (data parallelism via sharding constraints; see
+    _dp_shard). Cached by (spec, mesh): jit executables are keyed on
+    function identity, so a fresh closure per call would force a full
+    recompile of the whole-fit program on every batch (tens of seconds
+    through the remote-compile tunnel vs <1s to run it)."""
+    key = (spec, mesh)
+    fn = _EPOCH_SCAN_CACHE.get(key)
     if fn is None:
         def fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active):
             def body(c, xs):
-                return _run_epoch(spec, consts, data, c, xs)
+                return _run_epoch(spec, consts, data, c, xs, mesh=mesh)
             carry, hist = jax.lax.scan(body, carry,
                                        (epoch_ids, lr_chunk, active))
             return carry, hist
         fn = fit_chunk
-        _EPOCH_SCAN_CACHE[spec] = fn
+        _EPOCH_SCAN_CACHE[key] = fn
     return fn
 
 
-def jitted_fit_chunk(spec: LoopSpec, vmapped: bool, lr_per_lane: bool = False):
+def jitted_fit_chunk(spec: LoopSpec, vmapped: bool, lr_per_lane: bool = False,
+                     mesh=None, spmd_axis: Optional[str] = None):
     """Process-cached jitted (optionally vmapped) whole-fit chunk program.
 
     With `lr_per_lane`, the LR table carries a leading lane axis — lanes of a
     stacked batch with different real batch counts get their own warmup
-    pacing (the reference paces warmup by each fit's own batches/epoch)."""
-    key = (spec, vmapped, lr_per_lane)
+    pacing (the reference paces warmup by each fit's own batches/epoch).
+
+    With `mesh` (+ spec.dp_axis) minibatches shard over the dp axis; when
+    additionally vmapped, `spmd_axis` names the mesh axis the LANE dimension
+    shards over, giving the full {'exp': m, 'data': d} hybrid in one program.
+    """
+    key = (spec, vmapped, lr_per_lane, mesh, spmd_axis)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        base = make_epoch_scan(spec)
+        base = make_epoch_scan(spec, mesh=mesh)
         if vmapped:
             lr_ax = 0 if lr_per_lane else None
-            base = jax.vmap(base, in_axes=(0, 0, 0, None, lr_ax, None))
+            base = jax.vmap(base, in_axes=(0, 0, 0, None, lr_ax, None),
+                            spmd_axis_name=spmd_axis)
         fn = jax.jit(base, donate_argnums=(0,))
         _JIT_CACHE[key] = fn
     return fn
@@ -610,14 +643,21 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
         consts: Dict[str, Any], train_ps: PointSet, valid_ps: PointSet,
         seed: int, epochs_chunk: int = 50, verbose: bool = False,
         checkpoint_path=None, resume: bool = False,
-        session_epochs: Optional[int] = None) -> FitResult:
+        session_epochs: Optional[int] = None,
+        mesh=None, dp_axis: str = "data") -> FitResult:
     """Train one model. Runs the jitted epoch scan in chunks so early stopping
     can exit between chunks without recompiling.
 
     With `checkpoint_path`, the complete loop state is written after every
     chunk and `resume=True` continues bit-exactly from the last checkpoint
     (per-epoch RNG is derived by folding the epoch index into the carried
-    key, so the schedule of randomness is position-stable)."""
+    key, so the schedule of randomness is position-stable).
+
+    With `mesh` (a jax.sharding.Mesh containing `dp_axis`), one large fit is
+    data-parallel over all mesh devices with the COMPLETE training machinery
+    (LR state machine, EMA, early stopping, NaN guard): minibatches shard
+    over `dp_axis`, params stay replicated, XLA inserts the per-step gradient
+    all-reduce (SURVEY.md section 2.4 row 3)."""
     batch_size = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
     data, B, val_chunk = prepare_train_data(train_ps, valid_ps, batch_size)
     n_val_chunks = data.va_coords.shape[0] // val_chunk
@@ -627,8 +667,19 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
     lr_mlp, lr_basis, lr_recorded = build_lr_tables(cfg, B)
     lr_steps = np.stack([lr_mlp, lr_basis], axis=-1).reshape(cfg.epochs, B, 2)
 
-    fit_chunk = jitted_fit_chunk(spec, vmapped=False)
-    carry = init_carry(params, jax.random.PRNGKey(seed))
+    replicate = lambda t: t
+    if mesh is not None:
+        from dataclasses import replace as _dc_replace
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = _dc_replace(spec, dp_axis=dp_axis)
+        rep = NamedSharding(mesh, P())
+        replicate = lambda t: jax.device_put(t, rep)
+
+    fit_chunk = jitted_fit_chunk(spec, vmapped=False, mesh=mesh)
+    carry = replicate(init_carry(params, jax.random.PRNGKey(seed)))
+    consts = replicate(consts)
+    data = replicate(data)
 
     E = cfg.epochs
     chunk = min(epochs_chunk, E)
@@ -636,6 +687,7 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
     epochs_done = 0
     if resume and checkpoint_path is not None and Path(checkpoint_path).exists():
         carry, epochs_done, hists = load_fit_checkpoint(checkpoint_path)
+        carry = replicate(carry)
         if verbose:
             print(f"Resumed training from epoch {epochs_done}")
     session_limit = E if session_epochs is None else \
@@ -659,6 +711,7 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
             ids = jnp.concatenate([ids, jnp.full((pad,), E - 1, jnp.int32)])
             lr_c = jnp.concatenate([lr_c, jnp.repeat(lr_c[-1:], pad, 0)])
             active = active.at[c:].set(False)
+        ids, lr_c, active = replicate((ids, lr_c, active))
         carry, hist = fit_chunk(carry, consts, data, ids, lr_c, active)
         hist = jax.tree_util.tree_map(lambda x: np.asarray(x[:c]), hist)
         hists.append(hist)

@@ -127,7 +127,10 @@ def run_multiple_experiments(
 
     engine='sequential' dispatches jitted fits one by one (compilation is
     shared); engine='vmap' uses the batch engine to run all repeats as a
-    single vmapped device program (st_dadk_tpu.train.batch_engine).
+    single vmapped device program (st_dadk_tpu.train.batch_engine);
+    engine='dp' runs fits sequentially but each fit data-parallel over ALL
+    devices (minibatch sharding + gradient all-reduce; right for large
+    single fits, SURVEY.md section 2.4 row 3).
     """
     cfg = (config if isinstance(config, ExperimentConfig)
            else ExperimentConfig.from_dict(config))
@@ -145,12 +148,17 @@ def run_multiple_experiments(
                              experiments_dir, skip_existing=skip_existing,
                              verbose=verbose)
     else:
+        mesh = None
+        if engine == "dp":
+            import jax
+            from jax.sharding import Mesh
+            mesh = Mesh(np.array(jax.devices()), ("data",))
         for i in range(start_id, end_id + 1):
             exp_dir = experiments_dir / str(i)
             exp_dir.mkdir(parents=True, exist_ok=True)
             try:
                 run_single_experiment(cfg, i, exp_dir, verbose=verbose,
-                                      skip_existing=skip_existing)
+                                      skip_existing=skip_existing, mesh=mesh)
             except Exception as e:
                 print(f"[FAILED] Experiment {i}: {e}")
                 with open(exp_dir / "error.txt", "w") as f:
