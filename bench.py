@@ -5,8 +5,14 @@ Workload = the reference's default config (configs/config_st_interp.yaml of
 STLABTW/ST-DADK): dataset 2a_8 (T=100, S=1000), multi-quantile
 tau={.05,.25,.5,.75,.95}, GMM-initialized learnable Wendland basis, AdamW
 2e-2 + warmup/cosine + EMA, 500 epochs max with patience 50 — i.e. one full
-DA-STDK fit. We run a vmapped batch of M fits on the TPU and report
+DA-STDK fit. We stream vmapped batches of M fits through the TPU with
+finalize pipelined against the next batch's training, and report
 steady-state fits/hour.
+
+Measurement protocol (round-2 tightening): THREE independent windows, each
+>= MIN_WINDOW_SECONDS of whole batches, median window reported; window
+length and per-window rates are recorded in bench_details.json so rounds
+are comparable.
 
 Baseline: the same workload measured with the actual reference code on this
 host's CPU = 35.0 fits/hour single-process (baselines/reference_cpu.json;
@@ -39,6 +45,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FITS_PER_HOUR_1CORE = 35.0
 BASELINE_JOBLIB10_PROXY = BASELINE_FITS_PER_HOUR_1CORE * 10.0
+MIN_WINDOW_SECONDS = 60.0
+N_WINDOWS = 3
 
 
 def log(msg: str) -> None:
@@ -49,7 +57,7 @@ def main() -> None:
     import numpy as np
 
     from st_dadk_tpu.config import ExperimentConfig
-    from st_dadk_tpu.train.batch_engine import run_experiment_batch
+    from st_dadk_tpu.train.batch_engine import run_job_batch, run_job_batches
 
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
@@ -80,41 +88,62 @@ def main() -> None:
         save_plots=False, save_artifacts=False,
     )
 
+    def jobs_for(seed: int, out: Path):
+        cfg = ExperimentConfig.from_dict({**base, "base_seed": seed})
+        return [(cfg, i, out / str(i)) for i in range(1, M + 1)]
+
     tmp = Path(tempfile.mkdtemp(prefix="stdadk_bench_"))
     try:
-        # warmup: compiles the epoch-scan program (cached for the timed run)
-        warm_cfg = ExperimentConfig.from_dict({**base, "base_seed": 9999})
+        # warmup: compiles the whole-fit + init + eval programs
         log(f"[bench] warmup batch (M={M}) — compiling...")
         t0 = time.time()
-        run_experiment_batch(warm_cfg, list(range(1, M + 1)), tmp / "warm",
-                             verbose=False, epochs_chunk=100)
+        run_job_batch(jobs_for(9999, tmp / "warm"), epochs_chunk=100)
         log(f"[bench] warmup done in {time.time()-t0:.1f}s")
 
-        # three timed repetitions, best wall: the remote-TPU tunnel latency
-        # fluctuates ~2x run-to-run and the host has a single CPU core
-        walls, results = [], None
-        for rep in range(3):
-            cfg = ExperimentConfig.from_dict({**base,
-                                              "base_seed": 2025 + rep * 1000})
+        windows = []
+        results = None
+        seed_base = 2025
+        for wi in range(N_WINDOWS):
             t0 = time.time()
-            results = run_experiment_batch(cfg, list(range(1, M + 1)),
-                                           tmp / f"timed{rep}", verbose=False,
-                                           epochs_chunk=100)
-            walls.append(time.time() - t0)
-        wall = min(walls)
-        fits_per_hour = M / wall * 3600.0
+
+            def gen(wi=wi, t0=t0):
+                # stream whole batches (pipelined train/finalize inside
+                # run_job_batches) until the window is long enough
+                bi = 0
+                while True:
+                    yield jobs_for(seed_base + wi * 100000 + bi * 1000,
+                                   tmp / f"w{wi}b{bi}")
+                    bi += 1
+                    if time.time() - t0 >= MIN_WINDOW_SECONDS:
+                        return
+
+            window_results = run_job_batches(gen(), epochs_chunk=100)
+            wall = time.time() - t0
+            fits = len(window_results)
+            rate = fits / wall * 3600.0
+            windows.append({"fits": fits, "wall_seconds": wall,
+                            "fits_per_hour": rate})
+            results = window_results
+            log(f"[bench] window {wi}: {fits} fits in {wall:.1f}s "
+                f"-> {rate:.1f} fits/hr")
+
+        rates = sorted(w["fits_per_hour"] for w in windows)
+        fits_per_hour = rates[len(rates) // 2]          # median window
 
         crps = [r.get("test_crps") for r in results]
         rmse = [r.get("test_rmse") for r in results]
-        log(f"[bench] {M} fits in {wall:.1f}s -> {fits_per_hour:.1f} fits/hr")
+        log(f"[bench] median window: {fits_per_hour:.1f} fits/hr")
         log(f"[bench] test CRPS mean={np.mean(crps):.4f} "
             f"(reference CPU: 0.484 +/- 0.013); "
             f"test RMSE mean={np.mean(rmse):.4f} (reference: 0.963)")
 
         details = {
-            "M": M, "wall_seconds": wall,
+            "M": M,
+            "protocol": f"median of {N_WINDOWS} windows, each >= "
+                        f"{MIN_WINDOW_SECONDS:.0f}s of whole pipelined batches",
+            "windows": windows,
             "fits_per_hour": fits_per_hour,
-            "test_crps": crps, "test_rmse": rmse,
+            "test_crps_last_window": crps, "test_rmse_last_window": rmse,
             "baseline_1core_fits_per_hour": BASELINE_FITS_PER_HOUR_1CORE,
             "baseline_joblib10_proxy": BASELINE_JOBLIB10_PROXY,
         }

@@ -42,34 +42,22 @@ def _lane(tree: Any, i: int):
     return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
 
 
-def _batched_eval(cfg, spec_model, carry_host, consts_b, setups, M):
+def _batched_eval(cfg, spec_model, params_sel, consts_host, setups, M):
     """Per-lane split metrics + dense (T, S) field from vmapped predicts.
 
-    Selects each lane's serving params (best-EMA when a best exists, final
-    EMA otherwise — matching assemble_result) on host, then runs one
-    (M_group, T*S, Q) inference per distinct dataset (lanes of a stacked
-    config batch may span data files; every group reuses the same compiled
-    program since shapes match)."""
+    `params_sel` is the host-side serving-param tree (best-EMA/EMA already
+    selected on device by loop.pull_serving_state). Runs one (M_group, T*S, Q)
+    inference per distinct dataset (lanes of a stacked config batch may span
+    data files; every group reuses the same compiled program since shapes
+    match)."""
     from st_dadk_tpu.dataio.arrays import dense_grid_points
     from st_dadk_tpu.train.experiment import metrics_from_preds
     from st_dadk_tpu.train.loop import predict_lanes
-
-    has_best = np.asarray(carry_host["has_best"])[:M]
-
-    def select(best, ema):
-        sel = has_best.reshape((M,) + (1,) * (best.ndim - 1))
-        return np.where(sel, best[:M], ema[:M])
-
-    params_sel = jax.tree_util.tree_map(select, carry_host["best_ema"],
-                                        carry_host["ema"])
-    consts_host = jax.tree_util.tree_map(lambda x: np.asarray(x[:M]), consts_b)
 
     groups: Dict[Any, List[int]] = {}
     for li, s in enumerate(setups):
         groups.setdefault(getattr(s, "cfg", cfg).data_file, []).append(li)
 
-    Q = (len(cfg.quantile_levels)
-         if cfg.regression_type == "multi-quantile" else 1)
     median_idx = (len(cfg.quantile_levels) // 2
                   if cfg.regression_type == "multi-quantile" else 0)
 
@@ -92,6 +80,123 @@ def _batched_eval(cfg, spec_model, carry_host, consts_b, setups, M):
                 m = mask & np.isfinite(s.z_full)
                 lane[split] = metrics_from_preds(
                     cfg, field[m], s.z_full[m][:, None])
+            out[li] = lane
+    return out
+
+
+_DEV_EVAL_CACHE: Dict[Any, Any] = {}
+
+
+def _device_metrics_program(spec_model, qlevels, regression, n_chunks, n,
+                            chunk):
+    """vmapped all-device eval: dense predict + per-split weighted metrics.
+    Returns (M, 3, K) metric rows; only those scalars cross the tunnel."""
+    from st_dadk_tpu.train.loop import _predict_chunked_raw
+
+    key = (spec_model, tuple(qlevels or ()), regression, n_chunks, n, chunk)
+    fn = _DEV_EVAL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    multi = regression == "multi-quantile"
+    median_idx = len(qlevels) // 2 if multi else 0
+    q = jnp.asarray(qlevels, jnp.float32) if qlevels else None
+
+    def one(params, consts, coords_p, t_p, z, labels, tau):
+        # labels: (n,) int8 — 1 train / 2 valid / 3 test (disjoint splits);
+        # z is shared across the group's lanes (same dataset)
+        preds = _predict_chunked_raw(spec_model, params, consts,
+                                     coords_p, t_p, n_chunks)[:n]
+        finite = jnp.isfinite(z)
+        zz = jnp.where(finite, z, 0.0)
+        pm = preds[:, median_idx]
+        err = pm - zz
+        if multi:
+            e_k = zz[:, None] - preds                      # (n, Q)
+            rho = jnp.maximum((q - 1.0) * e_k, q * e_k)
+        elif regression == "quantile":
+            e1 = zz - preds[:, 0]
+            rho1 = jnp.maximum((tau - 1.0) * e1, tau * e1)
+
+        def split(si):
+            w = ((labels == si) & finite).astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(w), 1.0)
+            mse = jnp.sum(w * err * err) / cnt
+            mae = jnp.sum(w * jnp.abs(err)) / cnt
+            row = [mse, mae]
+            if multi:
+                checks = jnp.sum(w[:, None] * rho, axis=0) / cnt   # (Q,)
+                row += [2.0 * jnp.mean(checks), jnp.mean(checks)]
+            elif regression == "quantile":
+                row += [jnp.sum(w * rho1) / cnt]
+            return jnp.stack(row)
+
+        return jnp.stack([split(1), split(2), split(3)])   # (3, K)
+
+    fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None, 0, None)))
+    _DEV_EVAL_CACHE[key] = fn
+    return fn
+
+
+def _batched_eval_device(cfg, spec_model, serve_d, setups, M):
+    """All-device evaluation path: nothing but (M, 3, K) metric scalars cross
+    the tunnel (no dense-field pull, no host CRPS loops). Valid when no lane
+    needs the dense prediction field (save_artifacts/save_plots off and not
+    the per-tau quantile mode)."""
+    from st_dadk_tpu.dataio.arrays import dense_grid_points, round_up
+
+    serve_params, consts_d = serve_d
+
+    groups: Dict[Any, List[int]] = {}
+    for li, s in enumerate(setups):
+        groups.setdefault(getattr(s, "cfg", cfg).data_file, []).append(li)
+
+    out: List[Optional[Dict[str, Any]]] = [None] * len(setups)
+    chunk = 32768
+    for lanes in groups.values():
+        s0 = setups[lanes[0]]
+        T = s0.T
+        coords_rep, t_rep = dense_grid_points(T, s0.coords)
+        n = coords_rep.shape[0]
+        n_pad = round_up(n, chunk)
+        n_chunks = n_pad // chunk
+        coords_p = np.zeros((n_pad, 2), np.float32)
+        coords_p[:n] = coords_rep
+        t_p = np.zeros((n_pad, 1), np.float32)
+        t_p[:n] = t_rep.reshape(n, 1)
+
+        z = s0.z_full.ravel().astype(np.float32)   # shared across the group
+        labels_b = np.stack([
+            setups[li].train_mask.ravel().astype(np.int8) * 1
+            + setups[li].valid_mask.ravel().astype(np.int8) * 2
+            + setups[li].test_mask.ravel().astype(np.int8) * 3
+            for li in lanes])
+
+        idx = np.asarray(lanes)
+        take = lambda t: jax.tree_util.tree_map(lambda x: x[idx], t)
+        fn = _device_metrics_program(
+            spec_model, list(cfg.quantile_levels), cfg.regression_type,
+            n_chunks, n, chunk)
+        tau = float(cfg.current_quantile or 0.5)
+        vals = np.asarray(fn(take(serve_params), take(consts_d),
+                             jnp.asarray(coords_p), jnp.asarray(t_p),
+                             jnp.asarray(z), jnp.asarray(labels_b),
+                             jnp.asarray(tau, jnp.float32)))
+
+        for gi, li in enumerate(lanes):
+            lane = {}
+            for si, split in enumerate(("train_metrics", "val_metrics",
+                                        "test_metrics")):
+                row = vals[gi, si]
+                m = {"mse": float(row[0]), "mae": float(row[1]),
+                     "rmse": float(np.sqrt(row[0]))}
+                if cfg.regression_type == "multi-quantile":
+                    m["crps"] = float(row[2])
+                    m["mean_check_loss"] = float(row[3])
+                    m["check_loss"] = float(row[3])
+                elif cfg.regression_type == "quantile":
+                    m["check_loss"] = float(row[2])
+                lane[split] = m
             out[li] = lane
     return out
 
@@ -149,6 +254,51 @@ def run_job_batch(
     as long as dataset shapes match. This is config-level stacking: a grid
     search's same-shaped configs multiply the lane axis instead of running
     serially (SURVEY.md section 2.4 row 2)."""
+    state = _train_job_batch(jobs, skip_existing=skip_existing,
+                             verbose=verbose, epochs_chunk=epochs_chunk,
+                             mesh=mesh)
+    return _finalize_job_batch(state) if state else []
+
+
+def run_job_batches(
+    batches: List[List],
+    skip_existing: bool = False,
+    verbose: bool = False,
+    epochs_chunk: int = 100,
+    mesh: Optional[Mesh] = None,
+) -> List[Dict[str, Any]]:
+    """Pipelined stream of job batches: while batch k+1 trains on device,
+    batch k's finalize (result pulls + eval dispatch + artifacts) runs on a
+    host thread. The device queue serializes compute; the overlap hides the
+    host-side transfer/IO time (~0.7 s/batch through the tunnel), which is
+    the steady-state regime of a long grid search."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    results: List[Dict[str, Any]] = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = None
+        for jobs in batches:
+            state = _train_job_batch(jobs, skip_existing=skip_existing,
+                                     verbose=verbose,
+                                     epochs_chunk=epochs_chunk, mesh=mesh)
+            if fut is not None:
+                results.extend(fut.result())
+            fut = ex.submit(_finalize_job_batch, state) if state else None
+        if fut is not None:
+            results.extend(fut.result())
+    return results
+
+
+def _train_job_batch(
+    jobs: List,
+    skip_existing: bool = False,
+    verbose: bool = False,
+    epochs_chunk: int = 100,
+    mesh: Optional[Mesh] = None,
+) -> Optional[Dict[str, Any]]:
+    """Setup + batched init + the chunked training loop. Returns the state
+    `_finalize_job_batch` needs; result pulls happen there so a caller can
+    overlap them with the next batch's training."""
     t_start = time.time()
 
     todo = []
@@ -222,8 +372,19 @@ def run_job_batch(
         s.consts = jax.tree_util.tree_map(lambda x, i=i: x[i], consts_host)
         s.n_params = n_params
 
+    import dataclasses
+    E = cfg.epochs
+    chunk = min(epochs_chunk, E)
     spec = LoopSpec.from_config(cfg, spec_model, batch_size, B_shared,
                                 val_chunk, n_val_chunks)
+    if any(int(d.n_batches) != B_shared for d in datas):
+        # heterogeneous lanes: epoch shuffles must stable-partition so every
+        # lane sees all of its own data (costs an argsort per epoch)
+        spec = dataclasses.replace(spec, uniform_lanes=False)
+    if spec.record_centers and chunk % 100 == 0:
+        # slice the center trajectory to the reference's per-100-epoch
+        # sampling ON DEVICE: shrinks each chunk's history transfer by ~100x
+        spec = dataclasses.replace(spec, centers_every=100)
     # Per-lane LR tables: warmup pacing depends on the lane's OWN batches
     # per epoch (W = warmup_epochs * B_lane), which can differ across lanes
     # when observation counts straddle a ceil(n/batch) boundary. Lanes with
@@ -266,8 +427,7 @@ def run_job_batch(
     fit_chunk = jitted_fit_chunk(spec, vmapped=True, lr_per_lane=True)
 
     # -- chunked epoch loop (early exit when every lane has stopped) ----------
-    E = cfg.epochs
-    chunk = min(epochs_chunk, E)
+    ce = spec.centers_every
     hists = []
     epochs_done = 0
     while epochs_done < E:
@@ -282,31 +442,68 @@ def run_job_batch(
             active = active.at[c:].set(False)
         lr_c = jax.device_put(lr_c, lane_sharding)
         carry_b, hist = fit_chunk(carry_b, consts_b, data_b, ids, lr_c, active)
-        hists.append(jax.tree_util.tree_map(
-            lambda x: np.asarray(x[:, :c]), hist))
+        # scalars sliced to the real epochs; sparse centers rows sliced to
+        # those whose global epoch lands within the real span. Kept as DEVICE
+        # arrays here; _finalize_job_batch pulls them (possibly overlapped
+        # with the next batch's training).
+        hists.append({k: (v[:, :c] if not (k == "centers" and ce > 1)
+                          else v[:, : max(c // ce, 0)])
+                      for k, v in hist.items()})
         epochs_done += c
         if bool(np.asarray(carry_b["stopped"]).all()):
             break
 
-    history_b = {k: np.concatenate([h[k] for h in hists], axis=1)
-                 for k in hists[0]}
-    carry_host = jax.tree_util.tree_map(np.asarray, carry_b)
     wall = time.time() - t_start
     t_train = time.time() - t_phase
     if verbose:
         print(f"[batch] {M} experiments x {epochs_done} epochs in "
               f"{wall:.1f}s on {n_dev} device(s) "
               f"(setup {t_setup:.1f}s, train {t_train - t_setup:.1f}s)")
+
+    return dict(cfg=cfg, setups=setups, spec=spec, spec_model=spec_model,
+                carry_b=carry_b, consts_b=consts_b, consts_host=consts_host,
+                hists=hists, ce=ce, epochs_done=epochs_done,
+                lr_recorded_lanes=lr_recorded_lanes, M=M, wall=wall,
+                t_setup=t_setup, t_train=t_train, verbose=verbose)
+
+
+def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Pull results + batched eval + per-lane artifacts for a trained batch."""
+    from st_dadk_tpu.train.loop import (pull_serving_state,
+                                        select_serving_device)
+
+    cfg = state["cfg"]
+    setups = state["setups"]
+    spec, spec_model = state["spec"], state["spec_model"]
+    carry_b, consts_b = state["carry_b"], state["consts_b"]
+    M, epochs_done = state["M"], state["epochs_done"]
+    t_setup, t_train, wall = state["t_setup"], state["t_train"], state["wall"]
     t_phase = time.time()
+
+    history_b = {k: np.concatenate([np.asarray(h[k]) for h in state["hists"]],
+                                   axis=1)
+                 for k in state["hists"][0]}
+    serve_host, scal_host = pull_serving_state(carry_b)
 
     # -- batched evaluation: ONE vmapped dense-grid predict for all lanes ----
     # (lanes share the dataset; per-split metrics + predictions.npz payloads
     # all derive from the (M, T*S, Q) field — eval is deterministic, so the
     # values equal per-lane chunked prediction exactly)
+    needs_field = any(
+        getattr(s, "cfg", cfg).save_artifacts
+        or getattr(s, "cfg", cfg).save_plots
+        or getattr(s, "cfg", cfg).regression_type == "quantile"
+        for s in setups)
     precomputed_lanes = None
     try:
-        precomputed_lanes = _batched_eval(cfg, spec_model, carry_host,
-                                          consts_b, setups, len(todo))
+        if needs_field:
+            precomputed_lanes = _batched_eval(cfg, spec_model, serve_host,
+                                              state["consts_host"], setups,
+                                              len(setups))
+        else:
+            serve_d, _ = select_serving_device(carry_b)
+            precomputed_lanes = _batched_eval_device(
+                cfg, spec_model, (serve_d, consts_b), setups, len(setups))
     except Exception as e:
         print(f"[WARNING] batched eval failed, falling back per-lane: {e}")
 
@@ -314,10 +511,18 @@ def run_job_batch(
     results = []
     per_lane_time = wall / max(M, 1)
     for li, s in enumerate(setups):
-        lane_carry = _lane(carry_host, li)
+        serve_lane = _lane(serve_host, li)
+        lane_carry = {
+            "best_ema": serve_lane, "ema": serve_lane,
+            "has_best": scal_host["has_best"][li],
+            "best_val": scal_host["best_val"][li],
+            "stopped": scal_host["stopped"][li],
+            "stop_epoch": scal_host["stop_epoch"][li],
+        }
         lane_hist = {k: v[li] for k, v in history_b.items()}
         fit_res: FitResult = assemble_result(spec, lane_carry, lane_hist,
-                                             lr_recorded_lanes[li], epochs_done)
+                                             state["lr_recorded_lanes"][li],
+                                             epochs_done)
         out_dir = s.out_dir
         out_dir.mkdir(parents=True, exist_ok=True)
         r = finalize_experiment(
@@ -327,6 +532,6 @@ def run_job_batch(
             precomputed=precomputed_lanes[li] if precomputed_lanes else None)
         r.pop("_split_predictions", None)
         results.append(r)
-    if verbose:
+    if state["verbose"]:
         print(f"[batch] finalize (eval+artifacts) {time.time() - t_phase:.1f}s")
     return results

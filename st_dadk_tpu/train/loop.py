@@ -96,6 +96,15 @@ class LoopSpec:
     n_val_chunks: int = 1
     record_centers: bool = False
     dp_axis: Optional[str] = None  # mesh axis for batch-dim data parallelism
+    # static promise that every lane's real batch count equals n_batches —
+    # lets the epoch shuffle skip the (TPU-expensive) stable partition that
+    # protects lanes with fewer real batches (see epoch_batch_indices)
+    uniform_lanes: bool = True
+    # record the basis-center trajectory only every Nth epoch ON DEVICE
+    # (the reference samples every 100 epochs anyway, train_st_interp.py
+    # :573-575); keeps the per-chunk history transfer small. Must divide the
+    # chunk length; 1 = dense recording.
+    centers_every: int = 1
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, model: ModelSpec,
@@ -293,7 +302,8 @@ def _dp_shard(spec: LoopSpec, mesh, *arrays):
 
 
 def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
-                        n_batches_lane: jax.Array) -> jax.Array:
+                        n_batches_lane: jax.Array,
+                        uniform: bool = False) -> jax.Array:
     """(B, bs) shuffled point indices for one epoch.
 
     In a stacked batch a lane may have fewer real batches than the shared
@@ -303,10 +313,15 @@ def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
     (B_lane*bs indices, a superset of its real points) fills the executed
     batches — filtering a uniform permutation preserves uniformity, and when
     B_lane == B the partition is the identity reorder.
+
+    `uniform=True` is the caller's static promise that B_lane == B for every
+    lane; the partition (an argsort — multiple sort passes on TPU, a
+    measurable fraction of a small model's step time) is skipped entirely.
     """
     perm = jax.random.permutation(perm_key, cap)
-    cap_lane = n_batches_lane * bs
-    perm = perm[jnp.argsort(perm >= cap_lane, stable=True)]
+    if not uniform:
+        cap_lane = n_batches_lane * bs
+        perm = perm[jnp.argsort(perm >= cap_lane, stable=True)]
     return perm[: B * bs].reshape(B, bs)
 
 
@@ -322,7 +337,8 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
 
     key = jax.random.fold_in(carry["key"], epoch_idx)
     perm_key, drop_key = jax.random.split(key)
-    batch_idx = epoch_batch_indices(perm_key, cap, bs, B, data.n_batches)
+    batch_idx = epoch_batch_indices(perm_key, cap, bs, B, data.n_batches,
+                                    uniform=spec.uniform_lanes)
 
     def train_step(step_carry, xs):
         params, opt_state, ema, nan_epoch, loss_sum = step_carry
@@ -420,15 +436,52 @@ def make_epoch_scan(spec: LoopSpec, mesh=None):
     _dp_shard). Cached by (spec, mesh): jit executables are keyed on
     function identity, so a fresh closure per call would force a full
     recompile of the whole-fit program on every batch (tens of seconds
-    through the remote-compile tunnel vs <1s to run it)."""
+    through the remote-compile tunnel vs <1s to run it).
+
+    The epoch loop is a lax.while_loop (not scan) writing history rows by
+    dynamic index: a lane stops ITERATING the moment its early-stop flag is
+    set, instead of burning masked no-op epochs until the chunk ends. Under
+    vmap the loop runs until every lane in the batch has stopped — on the
+    bench workload (stop epochs 72-118 of a 100-epoch chunk grid) that cuts
+    the executed epoch count nearly in half. Unwritten history rows keep
+    their NaN initialization, matching the scan's was_stopped semantics."""
     key = (spec, mesh)
     fn = _EPOCH_SCAN_CACHE.get(key)
     if fn is None:
         def fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active):
-            def body(c, xs):
-                return _run_epoch(spec, consts, data, c, xs, mesh=mesh)
-            carry, hist = jax.lax.scan(body, carry,
-                                       (epoch_ids, lr_chunk, active))
+            chunk = epoch_ids.shape[0]
+            hist_avals = jax.eval_shape(
+                lambda c: _run_epoch(
+                    spec, consts, data, c,
+                    (epoch_ids[0], lr_chunk[0], active[0]), mesh=mesh)[1],
+                carry)
+            hist0 = jax.tree_util.tree_map(
+                lambda a: jnp.full((chunk,) + a.shape, jnp.nan, a.dtype),
+                hist_avals)
+
+            def cond(state):
+                c, _, it = state
+                live = jnp.logical_and(it < chunk,
+                                       jnp.logical_not(c["stopped"]))
+                return jnp.logical_and(
+                    live, active[jnp.minimum(it, chunk - 1)])
+
+            def body(state):
+                c, h, it = state
+                xs = (epoch_ids[it], lr_chunk[it], active[it])
+                c2, he = _run_epoch(spec, consts, data, c, xs, mesh=mesh)
+                h2 = jax.tree_util.tree_map(
+                    lambda buf, e: jax.lax.dynamic_update_index_in_dim(
+                        buf, e.astype(buf.dtype), it, 0), h, he)
+                return (c2, h2, it + 1)
+
+            carry, hist, _ = jax.lax.while_loop(
+                cond, body, (carry, hist0, jnp.asarray(0, jnp.int32)))
+            ce = spec.centers_every
+            if spec.record_centers and ce > 1 and "centers" in hist:
+                assert chunk % ce == 0, \
+                    "centers_every must divide the chunk length"
+                hist["centers"] = hist["centers"][ce - 1::ce]
             return carry, hist
         fn = fit_chunk
         _EPOCH_SCAN_CACHE[key] = fn
@@ -502,6 +555,77 @@ def prepare_carry_batch(spec_model: ModelSpec, M: int):
     fn = jax.jit(build)
     _PREPARE_CACHE[key] = fn
     return fn
+
+
+_SELECT_JIT = None
+_FLAT_JIT = None
+
+
+def select_serving_device(carry_b: Dict[str, Any]) -> Params:
+    """Per-lane serving params ON DEVICE: best-EMA when a best exists, final
+    EMA otherwise (the assemble_result rule). One tiny jitted program."""
+    global _SELECT_JIT
+    if _SELECT_JIT is None:
+        def program(carry):
+            hb = carry["has_best"]
+
+            def pick(b, e):
+                m = hb.reshape((-1,) + (1,) * (b.ndim - 1))
+                return jnp.where(m, b, e)
+
+            serve = jax.tree_util.tree_map(pick, carry["best_ema"],
+                                           carry["ema"])
+            scal = jnp.stack([carry["best_val"],
+                              carry["has_best"].astype(jnp.float32),
+                              carry["stopped"].astype(jnp.float32),
+                              carry["stop_epoch"].astype(jnp.float32)])
+            return serve, scal
+        _SELECT_JIT = jax.jit(program)
+    return _SELECT_JIT(carry_b)
+
+
+def pull_tree(tree_b: Params) -> Params:
+    """Pull a batched param tree host-side as ONE flat transfer.
+
+    Per-leaf np.asarray costs a tunnel round trip per leaf (dozens per carry);
+    flattening on device first makes it a single transfer."""
+    global _FLAT_JIT
+    if _FLAT_JIT is None:
+        def program(tree):
+            leaves = jax.tree_util.tree_leaves(tree)
+            M = leaves[0].shape[0]
+            return jnp.concatenate([l.reshape(M, -1) for l in leaves], axis=1)
+        _FLAT_JIT = jax.jit(program)
+    flat = np.asarray(_FLAT_JIT(tree_b))
+    leaves, treedef = jax.tree_util.tree_flatten(tree_b)
+    M = flat.shape[0]
+    out_leaves, off = [], 0
+    for l in leaves:
+        n = int(np.prod(l.shape[1:])) if l.ndim > 1 else 1
+        out_leaves.append(flat[:, off:off + n].reshape((M,) + tuple(l.shape[1:])))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def pull_serving_state(carry_b: Dict[str, Any]
+                       ) -> Tuple[Params, Dict[str, np.ndarray]]:
+    """Select each lane's serving params ON DEVICE and pull them as ONE flat
+    buffer plus one scalar block.
+
+    Pulling the whole carry instead costs 5x the bytes (params + both Adam
+    moments + EMA + best-EMA) across dozens of per-leaf transfers — ~3.6 s
+    per batch through the remote-TPU tunnel vs ~0.2 s for this path
+    (measured, scripts/profile_batch.py)."""
+    serve_d, scal_d = select_serving_device(carry_b)
+    serve = pull_tree(serve_d)
+    scal = np.asarray(scal_d)
+    scalars = {
+        "best_val": scal[0],
+        "has_best": scal[1].astype(bool),
+        "stopped": scal[2].astype(bool),
+        "stop_epoch": scal[3].astype(np.int32),
+    }
+    return serve, scalars
 
 
 def init_carry(params: Params, key: jax.Array) -> Dict[str, Any]:
@@ -746,9 +870,18 @@ def assemble_result(spec: LoopSpec, carry: Dict[str, Any],
 
     centers_history = []
     if spec.record_centers and "centers" in history_concat:
-        all_centers = np.asarray(history_concat["centers"][:n_run])
-        for e in range(99, n_run, 100):
-            centers_history.append((e + 1, all_centers[e]))
+        if spec.centers_every > 1:
+            # rows are already sparse: row i is the state after epoch
+            # (i+1)*centers_every (device-side slicing in make_epoch_scan)
+            rows = np.asarray(history_concat["centers"])
+            for i in range(rows.shape[0]):
+                e = (i + 1) * spec.centers_every
+                if e - 1 < n_run:
+                    centers_history.append((e, rows[i]))
+        else:
+            all_centers = np.asarray(history_concat["centers"][:n_run])
+            for e in range(99, n_run, 100):
+                centers_history.append((e + 1, all_centers[e]))
 
     has_best = bool(np.asarray(carry["has_best"]))
     best = carry["best_ema"] if has_best else carry["ema"]
