@@ -29,8 +29,12 @@ test:
 test-cov:
 	$(PYTHON) -m pytest tests/ --cov=st_dadk_tpu --cov-report=term-missing
 
+# run the kernel/numeric tests on the REAL TPU backend (multi-device tests
+# skip; the Pallas parity assertions then execute on actual hardware)
 test-tpu:
-	ST_DADK_TEST_TPU=1 $(PYTHON) -m pytest tests/ -x -q
+	ST_DADK_TEST_TPU=1 $(PYTHON) -m pytest \
+		tests/test_pallas_basis.py tests/test_pallas_fused.py \
+		tests/test_basis.py tests/test_losses.py tests/test_model.py -x -q
 
 lint:
 	$(PYTHON) -m py_compile $$(git ls-files '*.py')

@@ -43,14 +43,19 @@ MAX_INIT_SAMPLES = 10_000
 # k-means++ seeding (jittable)
 # ---------------------------------------------------------------------------
 
-def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int) -> jax.Array:
-    """k-means++ seeding over X (n, d) -> (k, d)."""
+def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
+                     w: Optional[jax.Array] = None) -> jax.Array:
+    """k-means++ seeding over X (n, d) -> (k, d).
+
+    Optional nonnegative point weights `w` (zero-weight rows are padding and
+    are never selected); w=None compiles the exact unweighted program."""
     n = X.shape[0]
 
     def body(carry, _):
         key, centers, d2 = carry
         key, sub = jax.random.split(key)
-        probs = d2 / jnp.maximum(d2.sum(), 1e-12)
+        scores = d2 if w is None else d2 * w
+        probs = scores / jnp.maximum(scores.sum(), 1e-12)
         idx = jax.random.choice(sub, n, p=probs)
         c_new = X[idx]
         d2_new = jnp.minimum(d2, jnp.sum((X - c_new) ** 2, axis=1))
@@ -58,7 +63,10 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int) -> jax.Array:
         return (key, centers, d2_new), None
 
     key, sub = jax.random.split(key)
-    first = X[jax.random.randint(sub, (), 0, n)]
+    if w is None:
+        first = X[jax.random.randint(sub, (), 0, n)]
+    else:
+        first = X[jax.random.choice(sub, n, p=w / jnp.maximum(w.sum(), 1e-12))]
     centers0 = jnp.tile(first[None], (k, 1))
     d2_0 = jnp.sum((X - first) ** 2, axis=1)
     (key, centers, _), _ = jax.lax.scan(body, (key, centers0, d2_0),
@@ -73,7 +81,8 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int) -> jax.Array:
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
                   max_iter: int = 100, n_init: int = 3,
-                  reg_covar: float = 1e-6, tol: float = 1e-3
+                  reg_covar: float = 1e-6, tol: float = 1e-3,
+                  w: Optional[jax.Array] = None
                   ) -> Tuple[jax.Array, jax.Array]:
     """Fit a spherical GMM; returns (means (k,2), sigmas (k,)).
 
@@ -82,8 +91,14 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
     `tol` convergence stop (|Δ mean log-likelihood| < 1e-3), which both
     matches sklearn's iteration count (~20-40 in practice, not max_iter)
     and cuts the on-device init time ~3x.
+
+    Optional `w` (n,) point weights: zero-weight rows are padding that
+    contributes nothing to any statistic — this is how lanes with different
+    subsample sizes share one vmapped batch. w=None keeps the exact
+    unweighted program.
     """
     n, d = X.shape
+    w_sum = None if w is None else jnp.maximum(jnp.sum(w), 1e-12)
 
     def pairwise_d2(means):
         # explicit elementwise differences: the |x|^2+|c|^2-2xc matmul trick
@@ -94,8 +109,13 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
         return jnp.sum(diff * diff, axis=-1)              # (n, k)
 
     def em_once(subkey):
-        means0 = kmeans_plus_plus(subkey, X, k)
-        var0 = jnp.var(X) * jnp.ones((k,)) + reg_covar
+        means0 = kmeans_plus_plus(subkey, X, k, w=w)
+        if w is None:
+            var0 = jnp.var(X) * jnp.ones((k,)) + reg_covar
+        else:
+            mu = jnp.sum(X * w[:, None], 0) / w_sum
+            var0 = (jnp.sum(w[:, None] * (X - mu) ** 2) / (w_sum * d)
+                    * jnp.ones((k,)) + reg_covar)
         weights0 = jnp.full((k,), 1.0 / k)
 
         def estep(d2, var, weights):
@@ -110,7 +130,12 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
             s = jnp.sum(p, axis=1, keepdims=True)
             resp = p / s
             log_norm = m[:, 0] + jnp.log(s[:, 0])
-            return resp, jnp.mean(log_norm)
+            if w is not None:
+                resp = resp * w[:, None]
+                ll = jnp.sum(w * log_norm) / w_sum
+            else:
+                ll = jnp.mean(log_norm)
+            return resp, ll
 
         def cond(state):
             _, _, _, _, ll_prev, ll, it = state
@@ -129,7 +154,7 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
             d2_new = pairwise_d2(means_new)
             var_new = (resp * d2_new).sum(axis=0) / (nk * d)
             var_new = jnp.maximum(var_new, 0.0) + reg_covar
-            weights_new = nk / n
+            weights_new = nk / (n if w is None else w_sum)
             return (means_new, var_new, weights_new, d2_new,
                     ll_prev, ll, it + 1)
 
@@ -152,7 +177,8 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
                     max_iter: int = 50, sinkhorn_iters: int = 40,
-                    eps_scale: float = 0.02, n_init: int = 3) -> jax.Array:
+                    eps_scale: float = 0.02, n_init: int = 3,
+                    w: Optional[jax.Array] = None) -> jax.Array:
     """Balanced k-means via Sinkhorn optimal transport. Returns centers (k, 2).
 
     Each Lloyd iteration solves an entropically regularized OT problem
@@ -165,7 +191,14 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
     the reference's n_init=3 (st_interp.py:387-394).
     """
     n = X.shape[0]
-    log_a = -jnp.log(float(n))          # per-point mass 1/n
+    if w is None:
+        log_a = -jnp.log(float(n))      # per-point mass 1/n
+    else:
+        # zero-weight rows are padding: effectively -inf log-mass
+        log_a = jnp.where(w > 0,
+                          jnp.log(jnp.maximum(w, 1e-30)
+                                  / jnp.maximum(jnp.sum(w), 1e-12)),
+                          -1e30)
     log_b = -jnp.log(float(k))          # per-cluster capacity 1/k
 
     def pairwise(centers):
@@ -173,7 +206,11 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
         return jnp.sum(diff * diff, axis=-1)                 # (n, k) >= 0
 
     def ot_plan(d2):
-        eps = eps_scale * jnp.mean(d2) + 1e-9
+        if w is None:
+            eps = eps_scale * jnp.mean(d2) + 1e-9
+        else:
+            eps = (eps_scale * jnp.sum(d2 * w[:, None])
+                   / jnp.maximum(jnp.sum(w) * k, 1e-12) + 1e-9)
 
         def sink(carry, _):
             f, g = carry
@@ -193,7 +230,7 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
             mass = P.sum(axis=0) + 1e-12                      # ~1/k each
             return (P.T @ X) / mass[:, None], None
 
-        centers0 = kmeans_plus_plus(subkey, X, k)
+        centers0 = kmeans_plus_plus(subkey, X, k, w=w)
         centers, _ = jax.lax.scan(body, centers0, None, length=max_iter)
         d2 = pairwise(centers)
         cost = jnp.sum(ot_plan(d2) * d2)
@@ -249,35 +286,46 @@ def _subsample(train_coords: np.ndarray, rng_np: bool = True) -> np.ndarray:
 _BATCH_FIT_CACHE = {}
 
 
-def _batched_gmm_multi(ks: Tuple[int, ...]):
+def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool):
     """All resolutions of a batched GMM init as ONE device program
     (per-resolution dispatches each pay a tunnel round trip)."""
-    key = ("gmm_multi", ks)
+    key = ("gmm_multi", ks, weighted)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:
-        def program(keys_b, X_b):
+        def program(keys_b, X_b, w_b):
             out = []
             for i, k in enumerate(ks):
                 sub = jax.vmap(lambda kk, i=i: jax.random.fold_in(kk, i))(keys_b)
-                out.append(jax.vmap(
-                    lambda kk, X, k=k: gmm_spherical(kk, X, k))(sub, X_b))
+                if weighted:
+                    out.append(jax.vmap(
+                        lambda kk, X, ww, k=k: gmm_spherical(kk, X, k, w=ww)
+                    )(sub, X_b, w_b))
+                else:
+                    out.append(jax.vmap(
+                        lambda kk, X, k=k: gmm_spherical(kk, X, k))(sub, X_b))
             return tuple(out)
         fn = jax.jit(program)
         _BATCH_FIT_CACHE[key] = fn
     return fn
 
 
-def _batched_bkm_multi(ks: Tuple[int, ...]):
-    key = ("bkm_multi", ks)
+def _batched_bkm_multi(ks: Tuple[int, ...], weighted: bool):
+    key = ("bkm_multi", ks, weighted)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:
-        def program(keys_b, X_b):
+        def program(keys_b, X_b, w_b):
             out = []
             for i, k in enumerate(ks):
                 sub = jax.vmap(lambda kk, i=i: jax.random.fold_in(
                     kk, 100 + i))(keys_b)
-                out.append(jax.vmap(
-                    lambda kk, X, k=k: balanced_kmeans(kk, X, k))(sub, X_b))
+                if weighted:
+                    out.append(jax.vmap(
+                        lambda kk, X, ww, k=k: balanced_kmeans(kk, X, k, w=ww)
+                    )(sub, X_b, w_b))
+                else:
+                    out.append(jax.vmap(
+                        lambda kk, X, k=k: balanced_kmeans(kk, X, k)
+                    )(sub, X_b))
             return tuple(out)
         fn = jax.jit(program)
         _BATCH_FIT_CACHE[key] = fn
@@ -289,43 +337,69 @@ def init_spatial_centers_batch(
     n_centers: Sequence[int],
     train_coords_list: list,
     keys: jax.Array,
+    rng_states: Optional[list] = None,
 ) -> list:
     """Data-adaptive initialization for a whole experiment batch at once.
 
-    One vmapped device program per resolution instead of 3 dispatches per
-    lane. Lanes are subsampled to a common size (min over lanes, capped at
-    MAX_INIT_SAMPLES) so the clustering shapes match. Returns a list of
-    (centers, bandwidths) numpy pairs, one per lane.
+    One vmapped device program for all resolutions instead of 3 dispatches
+    per lane. With `rng_states` (per-lane numpy RNG states captured at the
+    end of each lane's setup — ExperimentSetup.np_rng_state), every lane's
+    subsample/site draws replay the SEQUENTIAL engine's stream exactly, so
+    `--engine vmap` and sequential runs produce identical data-adaptive
+    inits for the same seed (round-1 review item). Lanes whose subsample
+    sizes differ are zero-weight padded to a common shape (the weighted
+    EM/Sinkhorn paths ignore padding exactly).
+
+    Returns a list of (centers, bandwidths) numpy pairs, one per lane.
     """
     M = len(train_coords_list)
     if method == "uniform":
         c, bw = uniform_grid_centers(n_centers)
         return [(c, bw)] * M
     if method == "random_site":
-        # cheap per-lane numpy; no device work to batch. Seed the global
-        # numpy RNG per lane so batch results are order-independent.
+        # host-side site draws; replay each lane's sequential stream
         out = []
         for i, tc in enumerate(train_coords_list):
-            np.random.seed(int(np.asarray(
-                jax.random.key_data(keys[i])).ravel()[-1]) % (2 ** 31))
+            if rng_states is not None:
+                np.random.set_state(rng_states[i])
+            else:
+                np.random.seed(int(np.asarray(
+                    jax.random.key_data(keys[i])).ravel()[-1]) % (2 ** 31))
             out.append(init_spatial_centers(method, n_centers, tc,
                                             key=keys[i]))
         return out
 
-    n_sub = min(min(len(tc) for tc in train_coords_list), MAX_INIT_SAMPLES)
     Xs = []
     for i, tc in enumerate(train_coords_list):
-        if len(tc) > n_sub:
+        if rng_states is not None:
+            np.random.set_state(rng_states[i])
+            sub = _subsample(tc)            # sequential-exact global stream
+        elif len(tc) > MAX_INIT_SAMPLES:
             rng = np.random.default_rng(
                 np.asarray(jax.random.key_data(keys[i]))[-1])
-            tc = tc[rng.choice(len(tc), n_sub, replace=False)]
-        Xs.append(tc.astype(np.float32))
-    X_b = jnp.asarray(np.stack(Xs))
+            sub = tc[rng.choice(len(tc), MAX_INIT_SAMPLES, replace=False)]
+        else:
+            sub = tc
+        Xs.append(np.asarray(sub, np.float32))
+
+    n_max = max(len(x) for x in Xs)
+    uniform_size = all(len(x) == n_max for x in Xs)
+    if uniform_size:
+        X_b = jnp.asarray(np.stack(Xs))
+        w_b = None
+    else:
+        X_pad = np.zeros((M, n_max, 2), np.float32)
+        w_pad = np.zeros((M, n_max), np.float32)
+        for i, x in enumerate(Xs):
+            X_pad[i, : len(x)] = x
+            w_pad[i, : len(x)] = 1.0
+        X_b = jnp.asarray(X_pad)
+        w_b = jnp.asarray(w_pad)
 
     per_lane = [[] for _ in range(M)]
     ks = tuple(int(k) for k in n_centers)
     if method == "gmm":
-        results = _batched_gmm_multi(ks)(keys, X_b)
+        results = _batched_gmm_multi(ks, w_b is not None)(keys, X_b, w_b)
         for k, (means_b, sig_b) in zip(ks, results):
             means_np = np.asarray(means_b, np.float32)
             sig_np = np.asarray(sig_b)
@@ -335,7 +409,7 @@ def init_spatial_centers_batch(
                              bw_min, np.inf).astype(np.float32)
                 per_lane[i].append((means_np[i], bw))
     elif method == "kmeans_balanced":
-        results = _batched_bkm_multi(ks)(keys, X_b)
+        results = _batched_bkm_multi(ks, w_b is not None)(keys, X_b, w_b)
         for k, centers_b in zip(ks, results):
             centers_np = np.asarray(centers_b, np.float32)
             for i in range(M):

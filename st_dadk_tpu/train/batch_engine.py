@@ -332,9 +332,9 @@ def _train_job_batch(
     coords_list = [s.train_ps.coords if needs_coords else None
                    for s in setups]
     from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
-    inits = init_spatial_centers_batch(cfg.spatial_init_method,
-                                       cfg.k_spatial_centers,
-                                       coords_list, keys)
+    inits = init_spatial_centers_batch(
+        cfg.spatial_init_method, cfg.k_spatial_centers, coords_list, keys,
+        rng_states=[s.np_rng_state for s in setups])
     centers_b = jnp.asarray(np.stack([c for c, _ in inits]))
     bw_b = jnp.asarray(np.stack([b for _, b in inits]))
     t_setup = time.time() - t_phase

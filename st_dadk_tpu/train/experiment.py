@@ -277,6 +277,11 @@ class ExperimentSetup:
         self.spec = spec_from_config(cfg, use_pallas=_pallas_available(cfg))
         self.params = None
         self.consts = None
+        # global numpy RNG state at this point (after the seeded mask draws).
+        # The sequential engine's data-adaptive init subsamples from this
+        # stream; the batch engine restores it per lane so both engines
+        # produce identical inits (round-1 review: engine-dependent RNG).
+        self.np_rng_state = np.random.get_state()
         if not defer_model:
             train_coords = None
             if cfg.spatial_init_method in ("gmm", "random_site",

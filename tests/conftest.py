@@ -6,32 +6,42 @@ its backends, hence before any jax import.
 """
 import os
 
-# Hard-set (not setdefault): the environment ships JAX_PLATFORMS=axon and a
-# sitecustomize that registers the TPU-tunnel backend; without both of these
-# the test suite silently dispatches every op through the tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_enable_fast_math" not in _flags:
-    # XLA-CPU fast-math exp/log approximations cost ~1e-5 relative error,
-    # which breaks tight numeric parity assertions; the TPU path is unaffected
-    _flags = (_flags + " --xla_cpu_enable_fast_math=false").strip()
-os.environ["XLA_FLAGS"] = _flags
+# ST_DADK_TEST_TPU=1 (the `make test-tpu` target) runs the suite on the real
+# TPU backend instead of the virtual CPU mesh — multi-device tests skip, but
+# the numeric/Pallas tests then assert on actual hardware.
+_ON_TPU = os.environ.get("ST_DADK_TEST_TPU") == "1"
+
+if not _ON_TPU:
+    # Hard-set (not setdefault): the environment ships JAX_PLATFORMS=axon and
+    # a sitecustomize that registers the TPU-tunnel backend; without both of
+    # these the test suite silently dispatches every op through the tunnel.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_enable_fast_math" not in _flags:
+        # XLA-CPU fast-math exp/log approximations cost ~1e-5 relative error,
+        # which breaks tight numeric parity assertions; TPU is unaffected
+        _flags = (_flags + " --xla_cpu_enable_fast_math=false").strip()
+    os.environ["XLA_FLAGS"] = _flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax  # noqa: E402
 
-# The axon sitecustomize imports jax at interpreter start, so the env vars
-# above can be too late; force the platform through the live config too
-# (must happen before the first backend initialization).
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
-assert jax.default_backend() == "cpu", "tests must run on CPU"
-assert len(jax.devices()) >= 8, "expected the virtual 8-device CPU mesh"
+if not _ON_TPU:
+    # The axon sitecustomize imports jax at interpreter start, so the env
+    # vars above can be too late; force the platform through the live config
+    # too (must happen before the first backend initialization).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    assert jax.default_backend() == "cpu", "tests must run on CPU"
+    assert len(jax.devices()) >= 8, "expected the virtual 8-device CPU mesh"
+else:
+    assert jax.default_backend() == "tpu", \
+        "ST_DADK_TEST_TPU=1 but no TPU backend available"
 
 import pytest  # noqa: E402
 

@@ -95,3 +95,81 @@ class TestDispatcher:
             init_spatial_centers("gmm", [9], None)
         with pytest.raises(ValueError):
             init_spatial_centers("voronoi", [9], _two_clusters())
+
+
+class TestCrossEngineInitEquality:
+    """Sequential engine and batch engine must produce IDENTICAL
+    data-adaptive inits for the same seed (round-1 review: the engines used
+    different RNG streams for subsampling/site draws)."""
+
+    def _states_and_coords(self, sizes, monkeypatch, cap=500):
+        import st_dadk_tpu.ops.init_centers as ic
+        monkeypatch.setattr(ic, "MAX_INIT_SAMPLES", cap)
+        states, coords = [], []
+        for i, n in enumerate(sizes):
+            np.random.seed(1000 + i)
+            np.random.uniform(size=7 + i)      # arbitrary prior stream use
+            states.append(np.random.get_state())
+            coords.append(np.random.default_rng(50 + i)
+                          .uniform(size=(n, 2)).astype(np.float32))
+        return states, coords
+
+    def _run_both(self, method, ks, states, coords):
+        from st_dadk_tpu.ops.init_centers import (init_spatial_centers,
+                                                  init_spatial_centers_batch)
+        seq = []
+        for i, (st, tc) in enumerate(zip(states, coords)):
+            np.random.set_state(st)
+            seq.append(init_spatial_centers(method, ks, tc,
+                                            key=jax.random.PRNGKey(100 + i)))
+        keys = jnp.stack([jax.random.PRNGKey(100 + i)
+                          for i in range(len(coords))])
+        bat = init_spatial_centers_batch(method, ks, coords, keys,
+                                         rng_states=states)
+        return seq, bat
+
+    def test_random_site_bit_equal(self, monkeypatch):
+        states, coords = self._states_and_coords([700, 600], monkeypatch)
+        seq, bat = self._run_both("random_site", [9, 16], states, coords)
+        for (c1, b1), (c2, b2) in zip(seq, bat):
+            np.testing.assert_array_equal(c2, c1)
+            np.testing.assert_array_equal(b2, b1)
+
+    def test_gmm_equal_sizes(self, monkeypatch):
+        # both lanes subsample to the cap -> identical X per lane; vmapped
+        # EM vs single EM may differ only in f32 fusion order
+        states, coords = self._states_and_coords([700, 650], monkeypatch)
+        seq, bat = self._run_both("gmm", [9], states, coords)
+        for (c1, b1), (c2, b2) in zip(seq, bat):
+            np.testing.assert_allclose(c2, c1, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(b2, b1, rtol=1e-4, atol=1e-5)
+
+    def test_weighted_padding_invariance(self):
+        """Zero-weight padding rows must not change the weighted EM / OT
+        results at all — the property the unequal-size stacked path relies
+        on. (Exact cross-engine equality holds only for equal-size lanes:
+        the weighted k-means++ first draw is a different RNG call than the
+        unweighted one, so padded and unpadded fits seed differently.)"""
+        from st_dadk_tpu.ops.init_centers import balanced_kmeans
+        X = jnp.asarray(_two_clusters(400, 5))
+        w = jnp.ones((400,))
+        X_pad = jnp.concatenate([X, jnp.full((100, 2), 7.7)], axis=0)
+        w_pad = jnp.concatenate([w, jnp.zeros((100,))])
+
+        m1, s1 = gmm_spherical(jax.random.PRNGKey(3), X, 4, w=w)
+        m2, s2 = gmm_spherical(jax.random.PRNGKey(3), X_pad, 4, w=w_pad)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   rtol=1e-4, atol=1e-5)
+
+        c1 = balanced_kmeans(jax.random.PRNGKey(4), X, 4, w=w)
+        c2 = balanced_kmeans(jax.random.PRNGKey(4), X_pad, 4, w=w_pad)
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_balanced_kmeans_equal_sizes(self, monkeypatch):
+        states, coords = self._states_and_coords([700, 650], monkeypatch)
+        seq, bat = self._run_both("kmeans_balanced", [9], states, coords)
+        for (c1, _), (c2, _) in zip(seq, bat):
+            np.testing.assert_allclose(c2, c1, rtol=1e-4, atol=1e-5)
