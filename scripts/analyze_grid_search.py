@@ -27,7 +27,7 @@ CANDIDATE_PARAMS = ["data_file", "spatial_basis_function",
                     "obs_method", "obs_ratio", "obs_spatial_pattern"]
 ABBREV = {"spatial_init_method": {"uniform": "uni", "gmm": "gmm",
                                   "random_site": "rnd",
-                                  "kmeans_balanced": "kmb"},
+                                  "kmeans_balanced": "kmb", "kmeans_exact": "kme"},
           "spatial_basis_function": {"wendland": "wend", "gaussian": "gaus",
                                      "triangular": "tria"}}
 

@@ -81,7 +81,8 @@ def main():
     train_ps, valid_ps = ps(perm[:n_tr]), ps(perm[n_tr:])
 
     train_coords = None
-    if cfg.spatial_init_method in ("gmm", "random_site", "kmeans_balanced"):
+    if cfg.spatial_init_method in ("gmm", "random_site", "kmeans_balanced",
+                                   "kmeans_exact"):
         train_coords = train_ps.coords
     np.random.seed(args.seed)
     centers, bw = init_spatial_centers(cfg.spatial_init_method,

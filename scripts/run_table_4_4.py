@@ -91,7 +91,8 @@ def main():
     parser.add_argument("--n_experiments", type=int, default=10)
     parser.add_argument("--data_file", type=str, default=None)
     parser.add_argument("--da_stdk_init_method", type=str, default=None,
-                        choices=[None, "kmeans_balanced", "gmm", "random_site"])
+                        choices=[None, "kmeans_balanced", "kmeans_exact", "gmm",
+                                 "random_site"])
     parser.add_argument("--non_crossing_lambda", type=float, default=None)
     parser.add_argument("--delta_penalty_mode", type=str, default="eq310",
                         choices=["eq310", "abs"],

@@ -34,7 +34,7 @@ class ExperimentConfig:
     k_spatial_centers: List[int] = field(default_factory=lambda: [25, 81, 121])
     k_temporal_centers: List[int] = field(default_factory=lambda: [10, 15, 45])
     spatial_basis_function: str = "wendland"   # wendland | gaussian | triangular
-    spatial_init_method: str = "uniform"       # uniform | gmm | random_site | kmeans_balanced
+    spatial_init_method: str = "uniform"       # uniform | gmm | random_site | kmeans_balanced | kmeans_exact
     spatial_learnable: bool = False
     hidden_dims: List[int] = field(default_factory=lambda: [256, 256, 128])
     dropout: float = 0.1

@@ -356,8 +356,8 @@ def init_spatial_centers_batch(
     if method == "uniform":
         c, bw = uniform_grid_centers(n_centers)
         return [(c, bw)] * M
-    if method == "random_site":
-        # host-side site draws; replay each lane's sequential stream
+    if method in ("random_site", "kmeans_exact"):
+        # host-side paths; replay each lane's sequential stream
         out = []
         for i, tc in enumerate(train_coords_list):
             if rng_states is not None:
@@ -485,6 +485,25 @@ def init_spatial_centers(
                 np.float32)
             bw = _nn_bandwidths(centers)
             if int(k) == 1:
+                bw = np.array([uniform_bandwidth_for(int(n_centers[0]))],
+                              np.float32)
+            centers_list.append(centers)
+            bw_list.append(bw)
+
+    elif method == "kmeans_exact":
+        # opt-in exact solver matching the reference's KMeansConstrained
+        # semantics (min-cost assignment per Lloyd step, exact floor/ceil
+        # cluster sizes, random_state=42/n_init=3/max_iter=100 —
+        # st_interp.py:340-431); host-side and slower than the Sinkhorn
+        # default. See ops/kmeans_exact.py.
+        from st_dadk_tpu.ops.kmeans_exact import kmeans_constrained
+        X = np.asarray(_subsample(train_coords), np.float64)
+        for k in n_centers:
+            k = int(k)
+            centers, _ = kmeans_constrained(X, k)
+            centers = centers.astype(np.float32)
+            bw = _nn_bandwidths(centers)
+            if k == 1:
                 bw = np.array([uniform_bandwidth_for(int(n_centers[0]))],
                               np.float32)
             centers_list.append(centers)

@@ -29,7 +29,8 @@ _TAG_ABBREV = {
     "spatial_basis_function": {"wendland": "wend", "gaussian": "gaus",
                                "triangular": "tria"},
     "spatial_init_method": {"uniform": "uni", "gmm": "gmm",
-                            "random_site": "rnd", "kmeans_balanced": "kmb"},
+                            "random_site": "rnd", "kmeans_balanced": "kmb",
+                            "kmeans_exact": "kme"},
 }
 
 

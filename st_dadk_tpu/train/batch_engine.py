@@ -328,7 +328,8 @@ def _train_job_batch(
         raise ValueError(f"run_job_batch: dataset shapes differ: {shapes}")
     keys = jnp.stack([jax.random.PRNGKey(s.experiment_seed) for s in setups])
     needs_coords = cfg.spatial_init_method in ("gmm", "random_site",
-                                               "kmeans_balanced")
+                                               "kmeans_balanced",
+                                               "kmeans_exact")
     coords_list = [s.train_ps.coords if needs_coords else None
                    for s in setups]
     from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch

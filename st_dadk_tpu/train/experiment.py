@@ -285,7 +285,8 @@ class ExperimentSetup:
         if not defer_model:
             train_coords = None
             if cfg.spatial_init_method in ("gmm", "random_site",
-                                           "kmeans_balanced"):
+                                           "kmeans_balanced",
+                                           "kmeans_exact"):
                 train_coords = self.train_ps.coords
             centers, bandwidths = init_spatial_centers(
                 cfg.spatial_init_method, cfg.k_spatial_centers, train_coords,

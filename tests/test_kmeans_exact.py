@@ -1,0 +1,134 @@
+"""Exact size-constrained k-means: auction solver optimality + partition
+balance + dispatcher integration (the opt-in kmeans_exact init,
+ref stnf/models/st_interp.py:340-431)."""
+import itertools
+
+import numpy as np
+import pytest
+
+from st_dadk_tpu.ops.kmeans_exact import (auction_assign_balanced,
+                                          balanced_caps,
+                                          constrained_assignment,
+                                          kmeans_constrained)
+
+
+class TestAuctionExactness:
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(1)
+        for trial in range(25):
+            n, m = 9, 3
+            cost = rng.integers(0, 25, size=(n, m)).astype(np.float64)
+            caps = balanced_caps(n, m)
+            col = auction_assign_balanced(cost, caps)
+            got = cost[np.arange(n), col].sum()
+            best = np.inf
+            for assign in itertools.product(range(m), repeat=n):
+                a = np.asarray(assign)
+                if np.all(np.bincount(a, minlength=m) == caps):
+                    best = min(best, cost[np.arange(n), a].sum())
+            assert got == best, (trial, got, best)
+            assert np.array_equal(np.bincount(col, minlength=m), caps)
+
+    def test_matches_lp_midsize(self):
+        """Against scipy HiGHS LP (the transportation LP has an integral
+        optimum, so the LP value equals the exact MCF value)."""
+        from scipy import sparse
+        from scipy.optimize import linprog
+
+        rng = np.random.default_rng(0)
+        n, k = 200, 6
+        X = rng.uniform(size=(n, 2))
+        C = rng.uniform(size=(k, 2))
+        cost = ((X[:, None] - C[None]) ** 2).sum(-1)
+        caps = balanced_caps(n, k)
+        col = constrained_assignment(cost, caps)
+        my = cost[np.arange(n), col].sum()
+
+        nv = n * k
+        A_eq = sparse.csr_matrix(
+            (np.ones(nv), (np.repeat(np.arange(n), k), np.arange(nv))),
+            shape=(n, nv))
+        A_col = sparse.csr_matrix(
+            (np.ones(nv), (np.tile(np.arange(k), n), np.arange(nv))),
+            shape=(k, nv))
+        res = linprog(cost.ravel(), A_eq=sparse.vstack([A_eq, A_col]),
+                      b_eq=np.concatenate([np.ones(n), caps]),
+                      bounds=(0, None), method="highs")
+        assert res.status == 0
+        # integer-scaled costs quantize at 1e-7; allow that much slack
+        assert my <= res.fun + n * 1e-7, (my, res.fun)
+
+
+class TestKmeansConstrained:
+    def test_exact_equal_sizes(self):
+        rng = np.random.default_rng(3)
+        X = rng.uniform(size=(500, 2))
+        k = 7
+        centers, labels = kmeans_constrained(X, k, n_init=2, max_iter=15)
+        sizes = np.bincount(labels, minlength=k)
+        q, r = divmod(500, k)
+        assert sizes.min() == q and sizes.max() == q + 1
+        assert (sizes == q + 1).sum() == r
+        assert np.isfinite(centers).all()
+        # centers inside the data's bounding box
+        assert centers.min() >= X.min() - 1e-9
+        assert centers.max() <= X.max() + 1e-9
+
+    def test_deterministic(self):
+        rng = np.random.default_rng(4)
+        X = rng.uniform(size=(300, 2))
+        c1, l1 = kmeans_constrained(X, 5, n_init=1, max_iter=10)
+        c2, l2 = kmeans_constrained(X, 5, n_init=1, max_iter=10)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_allclose(c1, c2)
+
+    def test_better_than_random_partition(self):
+        """The optimized balanced partition should beat a random balanced
+        partition's inertia by a wide margin."""
+        rng = np.random.default_rng(5)
+        X = np.concatenate([rng.normal([0.2, 0.2], 0.05, (150, 2)),
+                            rng.normal([0.8, 0.8], 0.05, (150, 2))])
+        centers, labels = kmeans_constrained(X, 2, n_init=1, max_iter=10)
+        inertia = ((X - centers[labels]) ** 2).sum()
+        perm = rng.permutation(300)
+        rand_labels = np.zeros(300, np.int64)
+        rand_labels[perm[150:]] = 1
+        rand_centers = np.stack([X[rand_labels == j].mean(0) for j in (0, 1)])
+        rand_inertia = ((X - rand_centers[rand_labels]) ** 2).sum()
+        assert inertia < 0.2 * rand_inertia
+
+
+class TestDispatcherIntegration:
+    def test_init_spatial_centers_kmeans_exact(self):
+        from st_dadk_tpu.ops.init_centers import init_spatial_centers
+        rng = np.random.default_rng(6)
+        X = rng.uniform(size=(400, 2)).astype(np.float32)
+        np.random.seed(0)
+        c, bw = init_spatial_centers("kmeans_exact", [9, 16], X)
+        assert c.shape == (25, 2) and bw.shape == (25,)
+        assert np.all(bw > 0)
+        assert np.all((c >= 0) & (c <= 1))
+
+    def test_batch_matches_sequential(self):
+        import jax
+        import jax.numpy as jnp
+        from st_dadk_tpu.ops.init_centers import (init_spatial_centers,
+                                                  init_spatial_centers_batch)
+        rng = np.random.default_rng(7)
+        coords = [rng.uniform(size=(300, 2)).astype(np.float32)
+                  for _ in range(2)]
+        states = []
+        for i in range(2):
+            np.random.seed(77 + i)
+            states.append(np.random.get_state())
+        seq = []
+        for i in range(2):
+            np.random.set_state(states[i])
+            seq.append(init_spatial_centers("kmeans_exact", [9], coords[i],
+                                            key=jax.random.PRNGKey(i)))
+        keys = jnp.stack([jax.random.PRNGKey(i) for i in range(2)])
+        bat = init_spatial_centers_batch("kmeans_exact", [9], coords, keys,
+                                         rng_states=states)
+        for (c1, b1), (c2, b2) in zip(seq, bat):
+            np.testing.assert_array_equal(c2, c1)
+            np.testing.assert_array_equal(b2, b1)
