@@ -52,6 +52,12 @@ class ModelSpec:
     output_dim: int = 1
     use_delta_reparameterization: bool = False
     use_pallas: bool = False
+    # opt-in: fused basis->layer-1 kernel in the TRAINING forward too.
+    # Measured on v5e (docs/BENCHMARKS.md): neutral at small batches and
+    # ~15% slower at N >= 32k (the backward re-does the g @ W^T tile matmul
+    # in two kernels), so training defaults to the pallas basis kernel +
+    # XLA-fused first layer; inference always uses the fused kernel.
+    use_fused_training: bool = False
 
     @property
     def k_spatial(self) -> int:
@@ -87,6 +93,7 @@ def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -
         output_dim=cfg.output_dim,
         use_delta_reparameterization=cfg.use_delta_reparameterization,
         use_pallas=cfg.use_pallas if use_pallas is None else use_pallas,
+        use_fused_training=cfg.use_fused_training,
     )
 
 
@@ -207,6 +214,34 @@ def trunk(spec: ModelSpec, params: Params, features: jax.Array,
     return h
 
 
+def _trunk_from_h1(spec: ModelSpec, params: Params, h1: jax.Array,
+                   train: bool = False,
+                   rng: Optional[jax.Array] = None) -> jax.Array:
+    """Hidden MLP given the first layer's pre-norm output; mirrors `trunk`
+    exactly (same LayerNorm/ReLU/dropout structure and RNG split sequence),
+    just skipping the first Linear."""
+    mlp = params["mlp"]
+    h = h1
+    for i in range(len(spec.hidden_dims)):
+        if i > 0:
+            lin = mlp[f"linear_{i}"]
+            h = h @ lin["w"] + lin["b"]
+        if spec.layernorm:
+            ln = mlp[f"ln_{i}"]
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+            h = h * ln["scale"] + ln["bias"]
+        h = jax.nn.relu(h)
+        if train and spec.dropout > 0.0:
+            if rng is None:
+                raise ValueError("rng required for dropout in train mode")
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - spec.dropout, h.shape)
+            h = jnp.where(keep, h / (1.0 - spec.dropout), 0.0)
+    return h
+
+
 def forward_inference_fused(spec: ModelSpec, params: Params,
                             consts: Consts, coords: jax.Array,
                             t: jax.Array) -> jax.Array:
@@ -225,17 +260,29 @@ def forward_inference_fused(spec: ModelSpec, params: Params,
     psi = temporal_basis_embed(t, consts["temporal_centers"],
                                consts["temporal_bandwidths"])
     h = h + psi @ w0[k_s:] + mlp["linear_0"]["b"]
-    for i in range(len(spec.hidden_dims)):
-        if i > 0:
-            lin = mlp[f"linear_{i}"]
-            h = h @ lin["w"] + lin["b"]
-        if spec.layernorm:
-            ln = mlp[f"ln_{i}"]
-            mean = jnp.mean(h, axis=-1, keepdims=True)
-            var = jnp.var(h, axis=-1, keepdims=True)
-            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-            h = h * ln["scale"] + ln["bias"]
-        h = jax.nn.relu(h)
+    h = _trunk_from_h1(spec, params, h, train=False)
+    return head(spec, params, h)
+
+
+def forward_train_fused(spec: ModelSpec, params: Params, consts: Consts,
+                        coords: jax.Array, t: jax.Array, train: bool,
+                        rng: Optional[jax.Array]) -> jax.Array:
+    """Differentiable forward with the fused basis->layer-1 TRAINING kernel
+    (custom VJP in ops.pallas_fused): neither phi (N, k) nor the backward's
+    g @ W^T cotangent ever reaches HBM. Requires p_covariates == 0 and a
+    hidden layer; dropout RNG sequence matches the unfused `trunk`."""
+    from st_dadk_tpu.ops.pallas_fused import fused_spatial_first_layer
+
+    centers, bandwidths = spatial_params(spec, params, consts)
+    mlp = params["mlp"]
+    w0 = mlp["linear_0"]["w"]
+    k_s = spec.k_spatial
+    h = fused_spatial_first_layer(coords, centers, bandwidths, w0[:k_s],
+                                  spec.spatial_basis_function)
+    psi = temporal_basis_embed(t, consts["temporal_centers"],
+                               consts["temporal_bandwidths"])
+    h = h + psi @ w0[k_s:] + mlp["linear_0"]["b"]
+    h = _trunk_from_h1(spec, params, h, train=train, rng=rng)
     return head(spec, params, h)
 
 
@@ -251,7 +298,15 @@ def head(spec: ModelSpec, params: Params, h: jax.Array) -> jax.Array:
 def forward(spec: ModelSpec, params: Params, consts: Consts,
             X: Optional[jax.Array], coords: jax.Array, t: jax.Array,
             train: bool = False, rng: Optional[jax.Array] = None) -> jax.Array:
-    """yhat(s, t): (B, output_dim)."""
+    """yhat(s, t): (B, output_dim).
+
+    On TPU (use_pallas) with no covariates, the first layer runs through the
+    differentiable fused basis->matmul kernel (forward_train_fused); the
+    result equals the unfused path up to f32 accumulation order."""
+    if (spec.use_pallas and spec.use_fused_training and spec.p == 0
+            and spec.hidden_dims):
+        return forward_train_fused(spec, params, consts, coords, t,
+                                   train=train, rng=rng)
     phi, psi = _embed(spec, params, consts, coords, t)
     if X is not None and spec.p > 0:
         features = jnp.concatenate([X, phi, psi], axis=-1)
