@@ -36,7 +36,7 @@ def regenerate_config_summaries(results_dir: Path):
     """Walk every config dir, recompute summaries from results.json
     (ref analyze_grid_search.py:162-361)."""
     all_results = []
-    for cfg_file in sorted(results_dir.glob("*/config.yaml")):
+    for cfg_file in sorted(results_dir.glob("**/config.yaml")):
         cdir = cfg_file.parent
         with open(cfg_file) as f:
             config = yaml.safe_load(f)
@@ -103,6 +103,73 @@ def plot_boxplots(df_detail, results_dir: Path, metric="test_rmse"):
     plt.close(fig)
 
 
+def plot_matrix_boxplots(df_detail, results_dir: Path, metric="test_rmse"):
+    """Reference layout (analyze_grid_search.py:590-693): one figure per data
+    file; subplot rows = obs spatial patterns, columns = (obs_method, ratio)
+    combinations, boxes = method labels with stable colors."""
+    if metric not in df_detail.columns or df_detail[metric].isna().all():
+        return
+    methods = sorted(df_detail["method_label"].dropna().unique())
+    palette = plt.cm.Set2(np.linspace(0, 1, max(len(methods), 3)))
+    method_colors = {m: palette[i % len(palette)] for i, m in enumerate(methods)}
+
+    for dfile in sorted(df_detail["data_file"].dropna().unique()):
+        dff = df_detail[df_detail["data_file"] == dfile]
+        patterns = sorted(dff["obs_spatial_pattern"].dropna().unique())
+        ratios = sorted(dff["obs_ratio"].dropna().unique())
+        obs_methods = sorted(dff["obs_method"].dropna().unique())
+        if not patterns or not ratios or not obs_methods:
+            continue
+        col_cfgs = [(m, r) for m in obs_methods for r in ratios]
+        n_rows, n_cols = len(patterns), len(col_cfgs)
+        fig, axes = plt.subplots(n_rows, n_cols,
+                                 figsize=(6 * n_cols, 5 * n_rows),
+                                 squeeze=False)
+        fig.suptitle(f"Performance Comparison: {dfile}",
+                     fontsize=16, fontweight="bold", y=0.995)
+        for ri, pattern in enumerate(patterns):
+            for ci, (om, orat) in enumerate(col_cfgs):
+                ax = axes[ri, ci]
+                sub = dff[(dff["obs_spatial_pattern"] == pattern)
+                          & (dff["obs_method"] == om)
+                          & (dff["obs_ratio"] == orat)]
+                title = f"{str(pattern).capitalize()} | {om}, r={orat}"
+                data, labels, colors = [], [], []
+                for m in methods:
+                    vals = sub[sub["method_label"] == m][metric].dropna().values
+                    if len(vals):
+                        data.append(vals)
+                        labels.append(m)
+                        colors.append(method_colors[m])
+                if not data:
+                    ax.text(0.5, 0.5, "No data", ha="center", va="center",
+                            transform=ax.transAxes, fontsize=14)
+                    ax.set_title(title, fontsize=11, fontweight="bold")
+                    continue
+                positions = np.arange(len(data))
+                bp = ax.boxplot(data, positions=positions, widths=0.6,
+                                patch_artist=True,
+                                medianprops=dict(color="black", linewidth=2),
+                                whiskerprops=dict(linewidth=1.5),
+                                capprops=dict(linewidth=1.5),
+                                flierprops=dict(marker="o", markersize=5,
+                                                alpha=0.5))
+                for patch, color in zip(bp["boxes"], colors):
+                    patch.set_facecolor(color)
+                    patch.set_alpha(0.7)
+                ax.set_xticks(positions)
+                ax.set_xticklabels(labels, rotation=45, ha="right", fontsize=10)
+                ax.set_ylabel(metric, fontsize=10, fontweight="bold")
+                ax.set_title(title, fontsize=11, fontweight="bold")
+                ax.grid(True, alpha=0.3, axis="y", linestyle="--")
+                ax.margins(x=0.1)
+        fig.tight_layout()
+        fname = str(dfile).replace("/", "_").replace(".csv", "") \
+            + f"_{metric}.png"
+        fig.savefig(results_dir / fname, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("results_dir", type=str, nargs="?", default=None)
@@ -131,12 +198,14 @@ def main():
     id_to_config = {c["config_id"]: c for c in configs}
     df_detail["method_label"] = df_detail["config_id"].map(
         lambda cid: create_method_label(id_to_config.get(cid, {}), varying))
-    if "data_file" not in df_detail.columns:
-        df_detail["data_file"] = df_detail["config_id"].map(
-            lambda cid: id_to_config.get(cid, {}).get("data_file"))
+    for col in ("data_file", "obs_spatial_pattern", "obs_method", "obs_ratio"):
+        if col not in df_detail.columns:
+            df_detail[col] = df_detail["config_id"].map(
+                lambda cid: id_to_config.get(cid, {}).get(col))
 
     for metric in ("test_rmse", "test_crps", "test_check_loss"):
         plot_boxplots(df_detail, results_dir, metric)
+        plot_matrix_boxplots(df_detail, results_dir, metric)
 
     # "aggregate over one param" variants (ref analyze_grid_search.py:700-792):
     # for each varying parameter, pool over everything else

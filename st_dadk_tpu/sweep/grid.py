@@ -35,6 +35,10 @@ _TAG_ABBREV = {
 
 
 def _tag_part(param_name: str, param_value: Any) -> str:
+    if param_name == "data_file":
+        # the tag becomes a directory name — use the file stem, never a path
+        from pathlib import Path as _P
+        return _P(str(param_value)).stem
     if param_name in _TAG_ABBREV:
         return _TAG_ABBREV[param_name].get(param_value, str(param_value))
     if param_name == "spatial_learnable":

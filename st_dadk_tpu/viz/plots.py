@@ -64,12 +64,44 @@ def plot_observation_pattern(coords: np.ndarray, obs_mask: np.ndarray,
 def plot_predictions(cfg, spec, params, consts, z_full: np.ndarray,
                      coords: np.ndarray, train_mask: np.ndarray,
                      output_dir: Path, n_times: int = 3) -> None:
-    """True / predicted / bias maps at a few time slices (ref :1056-1192)."""
+    """True / predicted / bias heatmaps at random time slices, interpolated
+    to a 200x200 grid with train-site and basis-center overlays — reference
+    layout (ref :1056-1192: nearest-neighbor griddata, pcolormesh, black
+    train dots, red 'x' centers sized by bandwidth, RdBu_r bias with
+    symmetric limits, seed 42 time selection)."""
+    from scipy.interpolate import griddata
+
+    from st_dadk_tpu.models.st_interp import spatial_params
     from st_dadk_tpu.train.loop import predict
+
     T, S = z_full.shape
-    t_indices = np.linspace(0, T - 1, n_times).astype(int)
-    fig, axes = plt.subplots(n_times, 3, figsize=(16, 4.6 * n_times),
-                             squeeze=False)
+    np.random.seed(42)
+    t_indices = sorted(np.random.choice(T, size=min(n_times, T),
+                                        replace=False))
+
+    centers = np.asarray(spatial_params(spec, params, consts)[0])
+    bandwidths = np.asarray(spatial_params(spec, params, consts)[1])
+    bw_n = (bandwidths - bandwidths.min()) / (bandwidths.max()
+                                              - bandwidths.min() + 1e-8)
+    basis_sizes = 10 + bw_n * 90
+
+    res = 200
+    xi = np.linspace(0, 1, res)
+    xi_g, yi_g = np.meshgrid(xi, xi)
+
+    def overlay(ax, t_idx):
+        tr = coords[np.where(train_mask[t_idx])[0]]
+        ax.scatter(tr[:, 0], tr[:, 1], c="black", s=20, alpha=0.6,
+                   label="Train sites", edgecolors="white", linewidths=0.5)
+        ax.scatter(centers[:, 0], centers[:, 1], c="red", s=basis_sizes,
+                   marker="x", alpha=0.5, label="Basis centers",
+                   linewidths=1.5)
+        ax.set_xlim(0, 1); ax.set_ylim(0, 1)
+        ax.set_xlabel("x"); ax.set_ylabel("y")
+        ax.legend(loc="upper right", fontsize=9)
+
+    fig, axes = plt.subplots(len(t_indices), 3,
+                             figsize=(20, 5 * len(t_indices)), squeeze=False)
     for row, t_idx in enumerate(t_indices):
         t_arr = np.full((S, 1), t_idx / (T - 1) if T > 1 else 0.0, np.float32)
         preds = predict(spec, params, consts, coords, t_arr)
@@ -78,16 +110,77 @@ def plot_predictions(cfg, spec, params, consts, z_full: np.ndarray,
         else:
             preds = preds[:, 0]
         true = z_full[t_idx]
-        vmin, vmax = np.nanmin(true), np.nanmax(true)
-        _site_scatter(axes[row][0], coords, true, f"true t={t_idx+1}",
-                      vmin=vmin, vmax=vmax)
-        _site_scatter(axes[row][1], coords, preds, f"pred t={t_idx+1}",
-                      vmin=vmin, vmax=vmax)
-        _site_scatter(axes[row][2], coords, preds - true, f"bias t={t_idx+1}",
-                      cmap="coolwarm")
+        valid = ~np.isnan(true)
+        cv = coords[valid]
+        bias = preds - true
+        tg = griddata(cv, true[valid], (xi_g, yi_g), method="nearest")
+        pg = griddata(cv, preds[valid], (xi_g, yi_g), method="nearest")
+        bg = griddata(cv, bias[valid], (xi_g, yi_g), method="nearest")
+
+        im = axes[row][0].pcolormesh(xi_g, yi_g, tg, cmap="viridis",
+                                     shading="auto")
+        axes[row][0].set_title(f"t={t_idx+1} - True", fontweight="bold")
+        overlay(axes[row][0], t_idx)
+        plt.colorbar(im, ax=axes[row][0])
+
+        im = axes[row][1].pcolormesh(xi_g, yi_g, pg, cmap="viridis",
+                                     shading="auto")
+        axes[row][1].set_title(f"t={t_idx+1} - Predicted", fontweight="bold")
+        overlay(axes[row][1], t_idx)
+        plt.colorbar(im, ax=axes[row][1])
+
+        bmax = float(np.nanmax(np.abs(bias[valid]))) or 1.0
+        im = axes[row][2].pcolormesh(xi_g, yi_g, bg, cmap="RdBu_r",
+                                     shading="auto", vmin=-bmax, vmax=bmax)
+        axes[row][2].set_title(f"t={t_idx+1} - Bias (Pred - True)",
+                               fontweight="bold")
+        overlay(axes[row][2], t_idx)
+        plt.colorbar(im, ax=axes[row][2])
+
     fig.tight_layout()
-    fig.savefig(Path(output_dir) / "predictions.png", dpi=100)
+    fig.savefig(Path(output_dir) / "prediction_maps.png", dpi=110,
+                bbox_inches="tight")
     plt.close(fig)
+
+
+def select_coverage_sites(coords: np.ndarray, train_mask: np.ndarray,
+                          n_sites: int = 4) -> List[int]:
+    """Deterministic site selection with spatial coverage: one train site
+    nearest the domain center, then region-grid representatives
+    (ref :1333-1370)."""
+    selected: List[int] = []
+    sites_with_train = np.where(train_mask.sum(axis=0) > 0)[0]
+    if len(sites_with_train):
+        d = np.linalg.norm(coords[sites_with_train] - 0.5, axis=1)
+        selected.append(int(sites_with_train[np.argmin(d)]))
+    n_grid = int(np.ceil(np.sqrt(n_sites)))
+    for i in range(n_grid):
+        for j in range(n_grid):
+            if len(selected) >= n_sites:
+                break
+            x0, x1 = i / n_grid, (i + 1) / n_grid
+            y0, y1 = j / n_grid, (j + 1) / n_grid
+            in_region = ((coords[:, 0] >= x0) & (coords[:, 0] < x1)
+                         & (coords[:, 1] >= y0) & (coords[:, 1] < y1))
+            if in_region.sum():
+                rc = np.array([(x0 + x1) / 2, (y0 + y1) / 2])
+                d = np.linalg.norm(coords[in_region] - rc, axis=1)
+                g = int(np.where(in_region)[0][np.argmin(d)])
+                if g not in selected:
+                    selected.append(g)
+    return selected or [0]
+
+
+def _quantile_colors(n: int):
+    """The reference's vivid rainbow quantile palette (ref :1497-1509)."""
+    if n == 3:
+        return ["#0000FF", "#00CC00", "#FF0000"]
+    if n == 5:
+        return ["#0000FF", "#00CCCC", "#00CC00", "#FF8800", "#FF0000"]
+    if n == 7:
+        return ["#8B00FF", "#0000FF", "#00CCCC", "#00CC00", "#FFCC00",
+                "#FF8800", "#FF0000"]
+    return plt.cm.tab10(np.linspace(0, 0.9, n))
 
 
 def plot_spatial_mse(z_full: np.ndarray, coords: np.ndarray,
@@ -113,48 +206,78 @@ def plot_temporal_series(cfg, spec, params, consts, z_full: np.ndarray,
                          coords: np.ndarray, train_mask: np.ndarray,
                          valid_mask: np.ndarray, test_mask: np.ndarray,
                          output_dir: Path, n_sites: int = 4) -> None:
-    """Per-site time series; quantile fan for multi-quantile (ref :1303-1555)."""
+    """Per-site time series with reference layout (ref :1303-1555):
+    coverage-selected sites, prediction line, observed (black) vs test
+    (gray) circles; for multi-quantile additionally the combined per-tau
+    panel figure with the reference's rainbow quantile lines
+    (temporal_series_quantiles_combined.png)."""
     from st_dadk_tpu.train.loop import predict
     T, S = z_full.shape
-    rng = np.random.default_rng(0)
-    # pick sites across the three roles
-    train_sites = np.where(train_mask.any(axis=0))[0]
-    test_sites = np.where(test_mask.all(axis=0))[0]
-    chosen: List[int] = []
-    for pool in (train_sites, test_sites):
-        if len(pool):
-            chosen += list(rng.choice(pool, size=min(n_sites // 2, len(pool)),
-                                      replace=False))
-    chosen = chosen[:n_sites] or [0]
+    chosen = select_coverage_sites(coords, train_mask, n_sites)
 
     t_vals = (np.arange(T, dtype=np.float32) / max(T - 1, 1))[:, None]
-    fig, axes = plt.subplots(len(chosen), 1, figsize=(12, 3 * len(chosen)),
+    tt = np.arange(1, T + 1)
+    preds_by_site = {}
+    for s in chosen:
+        c = np.tile(coords[s], (T, 1))
+        preds_by_site[s] = predict(spec, params, consts, c, t_vals)
+
+    def scatter_roles(ax, s):
+        true = z_full[:, s]
+        test_obs = test_mask[:, s]
+        obs = train_mask[:, s] | valid_mask[:, s]
+        if test_obs.sum():
+            ax.scatter(tt[test_obs], true[test_obs], c="gray", s=40,
+                       marker="o", alpha=0.7, label="Test (unobserved)",
+                       zorder=3)
+        if obs.sum():
+            ax.scatter(tt[obs], true[obs], c="black", s=40, marker="o",
+                       alpha=0.7, label="Train (observed)", zorder=3)
+
+    multi = cfg.regression_type == "multi-quantile"
+    med = len(cfg.quantile_levels) // 2 if multi else 0
+
+    fig, axes = plt.subplots(len(chosen), 1, figsize=(14, 3.5 * len(chosen)),
                              squeeze=False)
     for row, s in enumerate(chosen):
         ax = axes[row][0]
-        c = np.tile(coords[s], (T, 1))
-        preds = predict(spec, params, consts, c, t_vals)
-        tt = np.arange(1, T + 1)
-        if cfg.regression_type == "multi-quantile" and preds.shape[1] > 1:
-            qs = list(cfg.quantile_levels)
-            med = len(qs) // 2
-            for lo in range(med):
-                hi = len(qs) - 1 - lo
-                ax.fill_between(tt, preds[:, lo], preds[:, hi], alpha=0.18,
-                                color="tab:blue",
-                                label=f"q{qs[lo]}-q{qs[hi]}" if row == 0 else None)
-            ax.plot(tt, preds[:, med], color="tab:blue", label="median")
-        else:
-            ax.plot(tt, preds[:, 0], color="tab:blue", label="pred")
-        ax.plot(tt, z_full[:, s], ".", ms=3, color="black", label="true")
-        role = ("train" if train_mask[:, s].any()
-                else "valid" if valid_mask[:, s].any() else "test")
-        ax.set_title(f"site {s} ({role}) at ({coords[s,0]:.2f},{coords[s,1]:.2f})")
-        if row == 0:
-            ax.legend(ncol=4, fontsize=8)
-    fig.tight_layout()
-    fig.savefig(Path(output_dir) / "temporal_series.png", dpi=100)
+        preds = preds_by_site[s]
+        ax.plot(tt, preds[:, med], "b-", linewidth=2, label="Prediction",
+                alpha=0.8)
+        scatter_roles(ax, s)
+        ax.set_title(f"Site {s} at ({coords[s,0]:.3f}, {coords[s,1]:.3f})",
+                     fontweight="bold")
+        ax.set_xlabel("Time"); ax.set_ylabel("Value")
+        ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=9)
+        ax.grid(True, alpha=0.3)
+    fig.tight_layout(rect=[0, 0, 0.85, 1])
+    fig.savefig(Path(output_dir) / "temporal_series.png", dpi=110,
+                bbox_inches="tight")
     plt.close(fig)
+
+    if multi:
+        qs = list(cfg.quantile_levels)
+        colors = _quantile_colors(len(qs))
+        fig, axes = plt.subplots(len(chosen), 1,
+                                 figsize=(14, 3.5 * len(chosen)),
+                                 squeeze=False)
+        for row, s in enumerate(chosen):
+            ax = axes[row][0]
+            preds = preds_by_site[s]
+            for qi, q in enumerate(qs):
+                ax.plot(tt, preds[:, qi], color=colors[qi], linewidth=2,
+                        alpha=0.8, label=f"tau={q}")
+            scatter_roles(ax, s)
+            ax.set_title(f"Site {s} at ({coords[s,0]:.3f}, "
+                         f"{coords[s,1]:.3f}) - All Quantiles",
+                         fontweight="bold")
+            ax.set_xlabel("Time"); ax.set_ylabel("Value")
+            ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=9)
+            ax.grid(True, alpha=0.3)
+        fig.tight_layout(rect=[0, 0, 0.85, 1])
+        fig.savefig(Path(output_dir) / "temporal_series_quantiles_combined.png",
+                    dpi=110, bbox_inches="tight")
+        plt.close(fig)
 
 
 def create_averaged_spatial_mse(experiment_dirs, summary_dir: Path) -> None:
