@@ -295,3 +295,263 @@ def make_tp_train_step(spec: ModelSpec, mesh: Mesh, axis: str = "tp",
         check_rep=False,
     )
     return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------------------
+# Full tensor-parallel TRAINING LOOP
+# ---------------------------------------------------------------------------
+
+_TP_EPOCH_CACHE: Dict[Any, Any] = {}
+
+
+def make_tp_epoch(spec: ModelSpec, mesh: Mesh, loop_spec, axis: str = "tp"):
+    """Jitted TP epoch program: minibatch scan (grad masking + AdamW + EMA)
+    followed by EMA-swap validation — the full train.loop machinery in the
+    TP layout (basis rows sharded, batch replicated).
+
+    epoch(carry, data, lr_epoch, epoch_idx) -> (carry, (train_loss, val_loss,
+    val_rmse)); carry mirrors train.loop's (params/opt/ema/best_ema/
+    best_val/has_best/patience/stopped/key).
+    """
+    from st_dadk_tpu.ops.losses import mse_loss, multi_quantile_loss
+    from st_dadk_tpu.train.loop import epoch_batch_indices
+    from st_dadk_tpu.train.optimizer import (adamw_update, ema_update,
+                                             lr_tree_for)
+
+    key_c = (spec, mesh, loop_spec, axis)
+    fn = _TP_EPOCH_CACHE.get(key_c)
+    if fn is not None:
+        return fn
+
+    n_dev = mesh.shape[axis]
+    q = (jnp.asarray(loop_spec.quantile_levels, jnp.float32)
+         if loop_spec.regression_type == "multi-quantile" else None)
+    bs, B = loop_spec.batch_size, loop_spec.n_batches
+
+    def data_loss(p, consts, coords, t, y, w, rng):
+        preds = _tp_forward_train(spec, p, consts, coords, t, axis, n_dev,
+                                  rng)
+        if loop_spec.regression_type == "multi-quantile":
+            loss = multi_quantile_loss(preds, y, q, w)
+        else:
+            loss = mse_loss(preds, y, w)
+        if spec.spatial_learnable and loop_spec.domain_penalty_weight > 0:
+            c = p["basis"]["centers"]
+            viol = jax.nn.relu(-c) + jax.nn.relu(c - 1.0)
+            loss = loss + loop_spec.domain_penalty_weight * jax.lax.psum(
+                jnp.sum(viol ** 2), axis)
+        return loss
+
+    def _epoch(carry, data, lr_epoch, epoch_idx):
+        params, opt, ema, best_ema, best_val, has_best, pat, stopped, key \
+            = carry
+        consts, tr, va = data
+        ekey = jax.random.fold_in(key, epoch_idx)
+        perm_key, drop_key = jax.random.split(ekey)
+        cap = tr["coords"].shape[0]
+        batch_idx = epoch_batch_indices(perm_key, cap, bs, B,
+                                        jnp.asarray(B, jnp.int32),
+                                        uniform=True)
+
+        k_loc = params["mlp"]["w0_spatial"].shape[0]
+        rows = jax.lax.axis_index(axis) * k_loc + jnp.arange(k_loc)
+        valid_rows = rows < spec.k_spatial
+
+        def mask_rows(g):
+            m = valid_rows.reshape((-1,) + (1,) * (g.ndim - 1))
+            return g * m.astype(g.dtype)
+
+        def pin(new, old):
+            m = valid_rows.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        def clip_group(tree, max_norm, sharded: set):
+            # global-norm clip with the sharded leaves' sq-sums psum'd
+            # across the tp axis (a local norm would under-count them)
+            total = jnp.asarray(0.0, jnp.float32)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                sq = jnp.sum(leaf.astype(jnp.float32) ** 2)
+                name = jax.tree_util.keystr(path)
+                if any(s in name for s in sharded):
+                    sq = jax.lax.psum(sq, axis)
+                total = total + sq
+            scale = jnp.minimum(1.0, max_norm / (jnp.sqrt(total) + 1e-6))
+            return jax.tree_util.tree_map(lambda l: l * scale, tree)
+
+        def step(sc, xs):
+            p, o, e = sc
+            idx, lrs, b = xs
+            rng = jax.random.fold_in(drop_key, b)
+            loss, grads = jax.value_and_grad(data_loss)(
+                p, consts, tr["coords"][idx], tr["t"][idx], tr["y"][idx],
+                tr["w"][idx], rng)
+            grads["mlp"]["w0_spatial"] = mask_rows(grads["mlp"]["w0_spatial"])
+            if spec.spatial_learnable:
+                grads["basis"] = jax.tree_util.tree_map(mask_rows,
+                                                        grads["basis"])
+                if loop_spec.gradient_damping:
+                    from st_dadk_tpu.train.optimizer import gradient_damping
+                    grads["basis"]["centers"] = gradient_damping(
+                        grads["basis"]["centers"], p["basis"]["centers"],
+                        consts["spatial_centers_init"],
+                        loop_spec.damping_threshold,
+                        loop_spec.damping_strength)
+            if loop_spec.grad_clip > 0:
+                if spec.spatial_learnable:
+                    grads["basis"] = clip_group(
+                        grads["basis"], loop_spec.grad_clip * 0.1,
+                        {"centers", "log_bandwidths"})
+                grads["mlp"] = clip_group(grads["mlp"], loop_spec.grad_clip,
+                                          {"w0_spatial"})
+            prev = p
+            p, o = adamw_update(p, grads, o, lr_tree_for(p, lrs[0], lrs[1]),
+                                loop_spec.weight_decay)
+            p["mlp"]["w0_spatial"] = pin(p["mlp"]["w0_spatial"],
+                                         prev["mlp"]["w0_spatial"])
+            if spec.spatial_learnable:
+                p["basis"] = jax.tree_util.tree_map(pin, p["basis"],
+                                                    prev["basis"])
+            e = ema_update(e, p, jnp.asarray(1.0 - 1.0 / (10.0 * B)))
+            return (p, o, e), loss
+
+        (p2, o2, e2), losses = jax.lax.scan(
+            step, (params, opt, ema),
+            (batch_idx, lr_epoch, jnp.arange(B, dtype=jnp.int32)))
+        train_loss = jnp.mean(losses)
+
+        vp = _tp_forward_train(spec, e2, consts, va["coords"], va["t"],
+                               axis, n_dev, None)
+        med = (len(loop_spec.quantile_levels) // 2
+               if loop_spec.regression_type == "multi-quantile" else 0)
+        vw = va["w"]
+        cnt = jnp.maximum(jnp.sum(vw), 1.0)
+        if loop_spec.regression_type == "multi-quantile":
+            val_loss = multi_quantile_loss(vp, va["y"], q, vw)
+        else:
+            val_loss = mse_loss(vp, va["y"], vw)
+        se = jnp.sum((vp[:, med:med + 1] - va["y"]) ** 2 * vw[:, None])
+        val_rmse = jnp.sqrt(se / cnt)
+
+        improved = jnp.logical_and(jnp.isfinite(val_loss),
+                                   val_loss < best_val)
+        best_ema2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b), e2, best_ema)
+        best_val2 = jnp.where(improved, val_loss, best_val)
+        has_best2 = jnp.logical_or(has_best, improved)
+        pat2 = jnp.where(improved, 0, pat + 1)
+        stopped2 = jnp.logical_or(stopped, pat2 >= loop_spec.patience)
+
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stopped, b, a), new, old)
+        carry2 = (keep(p2, params), keep(o2, opt), keep(e2, ema),
+                  keep(best_ema2, best_ema),
+                  jnp.where(stopped, best_val, best_val2),
+                  jnp.where(stopped, has_best, has_best2),
+                  jnp.where(stopped, pat, pat2), stopped2, key)
+        return carry2, (train_loss, val_loss, val_rmse)
+
+    p_specs = tp_param_specs(spec, axis)
+    c_specs = tp_consts_specs(axis)
+    rep = P()
+    carry_specs = (p_specs, {"m": p_specs, "v": p_specs, "step": rep},
+                   p_specs, p_specs, rep, rep, rep, rep, rep)
+    data_specs = (c_specs, {"coords": rep, "t": rep, "y": rep, "w": rep},
+                  {"coords": rep, "t": rep, "y": rep, "w": rep})
+    mapped = shard_map(_epoch, mesh=mesh,
+                       in_specs=(carry_specs, data_specs, rep, rep),
+                       out_specs=(carry_specs, (rep, rep, rep)),
+                       check_rep=False)
+    fn = jax.jit(mapped)
+    _TP_EPOCH_CACHE[key_c] = fn
+    return fn
+
+
+def fit_tp(cfg, spec_model: ModelSpec, params: Params,
+           consts: Dict[str, Any], train_ps, valid_ps, mesh: Mesh,
+           seed: int, axis: str = "tp", verbose: bool = False):
+    """Full tensor-parallel training: the complete LR-table/EMA/early-stop
+    machinery with the basis axis sharded over `mesh[axis]`. Returns a
+    train.loop.FitResult whose params are UNSHARDED (pads stripped, first
+    layer reassembled) so downstream eval/artifacts are layout-agnostic."""
+    from st_dadk_tpu.dataio.arrays import pad_pointset
+    from st_dadk_tpu.train.loop import FitResult, LoopSpec, adaptive_batch_size
+    from st_dadk_tpu.train.optimizer import adamw_init, build_lr_tables
+
+    n_dev = mesh.shape[axis]
+    batch_size = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
+    B = max(1, -(-train_ps.n_real // batch_size))
+    tr = pad_pointset(train_ps, B * batch_size)
+    va = pad_pointset(valid_ps, max(1, valid_ps.n_real))
+    loop_spec = LoopSpec.from_config(cfg, spec_model, batch_size, B,
+                                     va.coords.shape[0], 1)
+
+    tp_params, tp_consts = to_tp_params(spec_model, params, consts, n_dev)
+    tp_params = place_tp(tp_params, tp_param_specs(spec_model, axis), mesh)
+    tp_consts = place_tp(tp_consts, tp_consts_specs(axis), mesh)
+    opt = adamw_init(tp_params)
+    rep = NamedSharding(mesh, P())
+    dev = lambda d: jax.device_put(
+        {"coords": jnp.asarray(d.coords), "t": jnp.asarray(d.t),
+         "y": jnp.asarray(d.y), "w": jnp.asarray(d.w)}, rep)
+    data = (tp_consts, dev(tr), dev(va))
+
+    lr_mlp, lr_basis, lr_recorded = build_lr_tables(cfg, B)
+    lr_steps = np.stack([lr_mlp, lr_basis], -1).reshape(cfg.epochs, B, 2)
+
+    epoch_fn = make_tp_epoch(spec_model, mesh, loop_spec, axis)
+    carry = (tp_params, opt, tp_params, tp_params,
+             jax.device_put(jnp.asarray(jnp.inf), rep),
+             jax.device_put(jnp.asarray(False), rep),
+             jax.device_put(jnp.asarray(0, jnp.int32), rep),
+             jax.device_put(jnp.asarray(False), rep),
+             jax.device_put(jax.random.PRNGKey(seed), rep))
+
+    hist = {"train_loss": [], "val_loss": [], "val_rmse": []}
+    n_run = 0
+    for e in range(cfg.epochs):
+        carry, (tl, vl, vr) = epoch_fn(
+            carry, data, jax.device_put(jnp.asarray(lr_steps[e]), rep),
+            jnp.asarray(e, jnp.int32))
+        n_run += 1
+        hist["train_loss"].append(float(tl))
+        hist["val_loss"].append(float(vl))
+        hist["val_rmse"].append(float(vr))
+        if bool(np.asarray(carry[7])):
+            if verbose:
+                print(f"[fit_tp] early stop at epoch {n_run}")
+            break
+
+    has_best = bool(np.asarray(carry[5]))
+    serve_tp = carry[3] if has_best else carry[2]
+    serve = from_tp_params(spec_model, jax.tree_util.tree_map(np.asarray,
+                                                              serve_tp))
+    final = from_tp_params(spec_model, jax.tree_util.tree_map(np.asarray,
+                                                              carry[2]))
+    history = {k: np.asarray(v) for k, v in hist.items()}
+    history["lr"] = lr_recorded[:n_run].copy()
+    return FitResult(params=serve, final_ema=final, history=history,
+                     best_val=float(np.asarray(carry[4])),
+                     n_epochs_run=n_run,
+                     stopped_early=bool(np.asarray(carry[7])),
+                     centers_history=[])
+
+
+def from_tp_params(spec: ModelSpec, tp_params: Params) -> Params:
+    """Invert to_tp_params: strip pad rows, reassemble the first layer."""
+    k, k_t = spec.k_spatial, spec.k_temporal
+    mlp_tp = tp_params["mlp"]
+    w0 = np.concatenate([np.asarray(mlp_tp["w0_spatial"])[:k],
+                         np.asarray(mlp_tp["w0_temporal"])], axis=0)
+    mlp = {"linear_0": {"w": w0, "b": np.asarray(mlp_tp["b0"])}}
+    for name, leaf in mlp_tp.items():
+        if name in ("w0_spatial", "w0_temporal", "b0"):
+            continue
+        mlp[name] = jax.tree_util.tree_map(np.asarray, leaf)
+    out: Params = {"mlp": mlp}
+    if spec.spatial_learnable:
+        out["basis"] = {
+            "centers": np.asarray(tp_params["basis"]["centers"])[:k],
+            "log_bandwidths":
+                np.asarray(tp_params["basis"]["log_bandwidths"])[:k],
+        }
+    return out

@@ -117,6 +117,67 @@ class TestTPTrainStep:
                            np.asarray(p_ref["mlp"]["linear_1"]["w"]),
                            atol=5e-5)
 
+    def test_full_tp_training_loop_matches_fit(self):
+        """fit_tp runs the COMPLETE machinery (LR tables, EMA, EMA-swap
+        validation, early stopping) with the basis axis sharded; with
+        identical seeds/batches it must track the unsharded fit() and keep
+        pad rows inert (k=106 on 4 devices -> 2 pads)."""
+        from st_dadk_tpu.config import ExperimentConfig
+        from st_dadk_tpu.dataio.arrays import PointSet
+        from st_dadk_tpu.models.st_interp import (forward, init_model,
+                                                  spec_from_config)
+        from st_dadk_tpu.parallel.tensor_parallel import fit_tp
+        from st_dadk_tpu.train.loop import fit
+
+        rng = np.random.default_rng(0)
+
+        def synth(n, seed):
+            r = np.random.default_rng(seed)
+            coords = r.uniform(size=(n, 2)).astype(np.float32)
+            t = r.uniform(size=(n, 1)).astype(np.float32)
+            y = (np.sin(3 * coords[:, :1]) + 0.5 * t).astype(np.float32)
+            return PointSet(coords=coords, t=t, y=y,
+                            w=np.ones(n, np.float32), n_real=n)
+
+        cfg = ExperimentConfig.from_dict(dict(
+            k_spatial_centers=[25, 81], k_temporal_centers=[5],
+            hidden_dims=[32, 16], dropout=0.0, epochs=8, lr=1e-2,
+            batch_size=64, patience=100, warmup_epochs=2, scheduler="cosine",
+            grad_clip=0.0, weight_decay=1e-5, regression_type="mean",
+            spatial_learnable=True, domain_penalty_weight=0.01,
+            use_pallas=False))
+        spec_m = spec_from_config(cfg)
+        assert spec_m.k_spatial % 4 != 0
+        params, consts = init_model(jax.random.PRNGKey(0), spec_m)
+        train_ps, valid_ps = synth(256, 1), synth(64, 2)
+
+        r_ref = fit(cfg, spec_m, params, consts, train_ps, valid_ps, seed=3,
+                    epochs_chunk=8)
+        mesh = make_mesh({"tp": 4}, jax.devices()[:4])
+        r_tp = fit_tp(cfg, spec_m, params, consts, train_ps, valid_ps, mesh,
+                      seed=3)
+
+        assert r_tp.n_epochs_run == r_ref.n_epochs_run
+        # same batches/LR/EMA; the psum reduction order drifts f32 rounding,
+        # which compounds on an exponentially-decaying loss — tolerances are
+        # absolute-dominated once the loss is ~1e-4
+        np.testing.assert_allclose(r_tp.history["train_loss"],
+                                   r_ref.history["train_loss"],
+                                   rtol=0.02, atol=5e-4)
+        np.testing.assert_allclose(r_tp.history["val_rmse"],
+                                   r_ref.history["val_rmse"],
+                                   rtol=0.02, atol=5e-4)
+        # reconstructed unsharded params produce matching forwards
+        coords, t = _inputs(64, 9)
+        got = np.asarray(forward(spec_m, r_tp.params, consts, None,
+                                 coords, t))
+        want = np.asarray(forward(spec_m, r_ref.params, consts, None,
+                                  coords, t))
+        # accumulated f32 drift over 8 epochs; the fields agree to ~2%
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+        err = np.abs(got - want).mean()
+        assert err < 0.02, err
+
     def test_multi_step_pads_stay_inert(self):
         """With k % n_dev != 0 (25+81=106 centers on 4 devices -> 2 pad
         rows), several TP train steps must (a) keep the pad rows exactly at
