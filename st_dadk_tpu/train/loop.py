@@ -775,7 +775,9 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
     With `checkpoint_path`, the complete loop state is written after every
     chunk and `resume=True` continues bit-exactly from the last checkpoint
     (per-epoch RNG is derived by folding the epoch index into the carried
-    key, so the schedule of randomness is position-stable).
+    key, so the schedule of randomness is position-stable). A `.npz` path
+    selects the single-file numpy backend; any other path is an Orbax
+    checkpoint directory (train.checkpoint).
 
     With `mesh` (a jax.sharding.Mesh containing `dp_axis`), one large fit is
     data-parallel over all mesh devices with the COMPLETE training machinery
@@ -809,8 +811,12 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
     chunk = min(epochs_chunk, E)
     hists = []
     epochs_done = 0
-    if resume and checkpoint_path is not None and Path(checkpoint_path).exists():
-        carry, epochs_done, hists = load_fit_checkpoint(checkpoint_path)
+    from st_dadk_tpu.train.checkpoint import (checkpoint_exists,
+                                               load_checkpoint,
+                                               save_checkpoint)
+    if resume and checkpoint_path is not None \
+            and checkpoint_exists(checkpoint_path):
+        carry, epochs_done, hists = load_checkpoint(checkpoint_path)
         carry = replicate(carry)
         if verbose:
             print(f"Resumed training from epoch {epochs_done}")
@@ -841,7 +847,7 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
         hists.append(hist)
         epochs_done += c
         if checkpoint_path is not None:
-            save_fit_checkpoint(checkpoint_path, carry, epochs_done, hists)
+            save_checkpoint(checkpoint_path, carry, epochs_done, hists)
         if bool(np.asarray(carry["stopped"])):
             if verbose:
                 print(f"Early stopping by epoch {epochs_done}")

@@ -70,3 +70,34 @@ def test_resume_skips_when_finished(tmp_path):
              epochs_chunk=4, checkpoint_path=ckpt, resume=True)
     assert r2.n_epochs_run == r1.n_epochs_run
     assert np.allclose(r2.history["val_loss"], r1.history["val_loss"])
+
+
+def test_orbax_backend_resume_bitwise(tmp_path):
+    """A non-.npz checkpoint path selects the Orbax backend; interrupted +
+    resumed training must still equal the uninterrupted run bit-for-bit."""
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    cfg = _cfg(12)
+    train_ps, valid_ps = _synthetic(256, 0), _synthetic(64, 1)
+    spec = spec_from_config(cfg)
+    params, consts = init_model(jax.random.PRNGKey(3), spec)
+
+    full = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=3,
+               epochs_chunk=4)
+
+    ckpt = tmp_path / "orbax_ckpt"          # directory -> Orbax
+    partial = fit(cfg, spec, params, consts, train_ps, valid_ps,
+                  seed=3, epochs_chunk=4, checkpoint_path=ckpt,
+                  session_epochs=8)
+    assert (ckpt / "state").exists()
+    assert partial.n_epochs_run == 8
+    resumed = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=3,
+                  epochs_chunk=4, checkpoint_path=ckpt, resume=True)
+
+    assert resumed.n_epochs_run == full.n_epochs_run == 12
+    assert np.array_equal(resumed.history["train_loss"],
+                          full.history["train_loss"])
+    a = jax.tree_util.tree_leaves(resumed.params["mlp"])
+    b = jax.tree_util.tree_leaves(full.params["mlp"])
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
