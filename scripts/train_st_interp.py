@@ -46,6 +46,10 @@ def main():
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
+    # one process per host on a pod; no-op on a single machine
+    from st_dadk_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     cfg = load_config(args.config, {
         "data_file": args.data_file,
         "n_experiments": args.n_experiments,

@@ -202,8 +202,11 @@ def _batched_eval_device(cfg, spec_model, serve_d, setups, M):
 
 
 def experiment_mesh(axis: str = "exp") -> Mesh:
-    devices = np.array(jax.devices())
-    return Mesh(devices, (axis,))
+    # DCN-aware device order: on a pod, lanes group contiguously per
+    # host/slice (exp is collective-free, so this is layout hygiene only);
+    # single host it is exactly Mesh(jax.devices(), (axis,)).
+    from st_dadk_tpu.parallel.multihost import experiment_mesh_auto
+    return experiment_mesh_auto(axis)
 
 
 def run_experiment_batch(
@@ -422,7 +425,10 @@ def _train_job_batch(
             [lr_steps, np.repeat(lr_steps[-1:], pad_lanes, axis=0)])
 
     lane_sharding = NamedSharding(mesh, P(cfg.mesh_axis))
-    shard = lambda t: jax.device_put(t, lane_sharding)
+    # single-process: plain device_put; multi-process: per-host lane shards
+    # assembled into global arrays (parallel/multihost.py)
+    from st_dadk_tpu.parallel.multihost import shard_lanes_multihost
+    shard = lambda t: shard_lanes_multihost(t, mesh, cfg.mesh_axis)
     data_b, carry_b, consts_b = shard(data_b), shard(carry_b), shard(consts_b)
 
     fit_chunk = jitted_fit_chunk(spec, vmapped=True, lr_per_lane=True)
