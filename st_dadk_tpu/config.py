@@ -100,6 +100,9 @@ class ExperimentConfig:
     data_root: Optional[str] = None            # prefix for relative data_file paths
     use_pallas: bool = True                    # Pallas basis kernel on TPU (jnp fallback elsewhere)
     use_fused_training: bool = False           # opt-in fused basis->layer-1 TRAINING kernel (see ModelSpec)
+    dropout_rng: str = "rbg"                   # dropout mask generator: 'rbg' (TPU-native
+                                               # hardware bit generator, ~25% faster scans) or
+                                               # 'threefry' (jax default, round-1 streams)
     mesh_axis: str = "exp"                     # mesh axis name for the experiment batch
     save_plots: bool = True
     save_artifacts: bool = True                # predictions.npz / basis_info.npz / checkpoints

@@ -105,6 +105,12 @@ class LoopSpec:
     # :573-575); keeps the per-chunk history transfer small. Must divide the
     # chunk length; 1 = dense recording.
     centers_every: int = 1
+    # dropout mask stream: 'rbg' re-keys the per-epoch dropout key into the
+    # TPU-native RBG bit generator (threefry mask generation is ~29% of the
+    # whole training scan on v5e — measured in docs/BENCHMARKS.md); masks
+    # remain deterministic per seed, just from a different (equally valid)
+    # stream. 'threefry' keeps the jax default (round-1 behavior).
+    dropout_rng: str = "rbg"
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, model: ModelSpec,
@@ -138,6 +144,7 @@ class LoopSpec:
             val_chunk=val_chunk,
             n_val_chunks=n_val_chunks,
             record_centers=cfg.spatial_learnable,
+            dropout_rng=cfg.dropout_rng,
         )
 
 
@@ -339,6 +346,15 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     perm_key, drop_key = jax.random.split(key)
     batch_idx = epoch_batch_indices(perm_key, cap, bs, B, data.n_batches,
                                     uniform=spec.uniform_lanes)
+    if spec.dropout_rng == "rbg" and m.dropout > 0.0:
+        # re-key the dropout stream into the TPU-native RBG generator: the
+        # carry/permutation keys stay threefry (checkpoint format unchanged),
+        # only mask bits come from the hardware generator
+        kd = (jax.random.key_data(drop_key)
+              if jnp.issubdtype(drop_key.dtype, jax.dtypes.prng_key)
+              else drop_key)
+        drop_key = jax.random.wrap_key_data(jnp.concatenate([kd, kd]),
+                                            impl="rbg")
 
     def train_step(step_carry, xs):
         params, opt_state, ema, nan_epoch, loss_sum = step_carry

@@ -202,3 +202,49 @@ class TestDeltaPenaltyModes:
         # abs: stays near the data term
         assert results["abs"][-1] > -0.1
         assert np.isfinite(results["abs"]).all()
+
+
+class TestDropoutRng:
+    """The dropout mask stream is configurable: 'rbg' (TPU-native generator,
+    the default) vs 'threefry' (jax default). Both must be deterministic per
+    seed; the two streams differ; dropout=0 is stream-independent."""
+
+    def _fit(self, **kw):
+        cfg = _cfg(dropout=0.1, epochs=8, **kw)
+        train_ps = _synthetic(256, 0)
+        valid_ps = _synthetic(64, 1)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(7), spec)
+        return fit(cfg, spec, params, consts, train_ps, valid_ps, seed=7,
+                   epochs_chunk=8)
+
+    def test_rbg_deterministic(self):
+        a = self._fit(dropout_rng="rbg")
+        b = self._fit(dropout_rng="rbg")
+        np.testing.assert_array_equal(a.history["train_loss"],
+                                      b.history["train_loss"])
+        assert np.all(np.isfinite(a.history["train_loss"]))
+
+    def test_streams_differ_but_both_train(self):
+        a = self._fit(dropout_rng="rbg")
+        b = self._fit(dropout_rng="threefry")
+        assert not np.array_equal(a.history["train_loss"],
+                                  b.history["train_loss"])
+        for r in (a, b):
+            hist = r.history
+            assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+    def test_no_dropout_ignores_impl(self):
+        cfg_kw = dict(dropout=0.0, epochs=5)
+        cfg_a = _cfg(dropout_rng="rbg", **cfg_kw)
+        cfg_b = _cfg(dropout_rng="threefry", **cfg_kw)
+        train_ps = _synthetic(256, 0)
+        valid_ps = _synthetic(64, 1)
+        outs = []
+        for cfg in (cfg_a, cfg_b):
+            spec = spec_from_config(cfg)
+            params, consts = init_model(jax.random.PRNGKey(7), spec)
+            outs.append(fit(cfg, spec, params, consts, train_ps, valid_ps,
+                            seed=7, epochs_chunk=5))
+        np.testing.assert_array_equal(outs[0].history["train_loss"],
+                                      outs[1].history["train_loss"])
