@@ -352,35 +352,40 @@ def init_spatial_centers_batch(
 
     Returns a list of (centers, bandwidths) numpy pairs, one per lane.
     """
+    from st_dadk_tpu.utils.seed import GLOBAL_NP_RNG_LOCK
+
     M = len(train_coords_list)
     if method == "uniform":
         c, bw = uniform_grid_centers(n_centers)
         return [(c, bw)] * M
     if method in ("random_site", "kmeans_exact"):
-        # host-side paths; replay each lane's sequential stream
+        # host-side paths; replay each lane's sequential stream (global-RNG
+        # section: locked against the pipelined prepare thread)
         out = []
-        for i, tc in enumerate(train_coords_list):
-            if rng_states is not None:
-                np.random.set_state(rng_states[i])
-            else:
-                np.random.seed(int(np.asarray(
-                    jax.random.key_data(keys[i])).ravel()[-1]) % (2 ** 31))
-            out.append(init_spatial_centers(method, n_centers, tc,
-                                            key=keys[i]))
+        with GLOBAL_NP_RNG_LOCK:
+            for i, tc in enumerate(train_coords_list):
+                if rng_states is not None:
+                    np.random.set_state(rng_states[i])
+                else:
+                    np.random.seed(int(np.asarray(
+                        jax.random.key_data(keys[i])).ravel()[-1]) % (2 ** 31))
+                out.append(init_spatial_centers(method, n_centers, tc,
+                                                key=keys[i]))
         return out
 
     Xs = []
-    for i, tc in enumerate(train_coords_list):
-        if rng_states is not None:
-            np.random.set_state(rng_states[i])
-            sub = _subsample(tc)            # sequential-exact global stream
-        elif len(tc) > MAX_INIT_SAMPLES:
-            rng = np.random.default_rng(
-                np.asarray(jax.random.key_data(keys[i]))[-1])
-            sub = tc[rng.choice(len(tc), MAX_INIT_SAMPLES, replace=False)]
-        else:
-            sub = tc
-        Xs.append(np.asarray(sub, np.float32))
+    with GLOBAL_NP_RNG_LOCK:
+        for i, tc in enumerate(train_coords_list):
+            if rng_states is not None:
+                np.random.set_state(rng_states[i])
+                sub = _subsample(tc)        # sequential-exact global stream
+            elif len(tc) > MAX_INIT_SAMPLES:
+                rng = np.random.default_rng(
+                    np.asarray(jax.random.key_data(keys[i]))[-1])
+                sub = tc[rng.choice(len(tc), MAX_INIT_SAMPLES, replace=False)]
+            else:
+                sub = tc
+            Xs.append(np.asarray(sub, np.float32))
 
     n_max = max(len(x) for x in Xs)
     uniform_size = all(len(x) == n_max for x in Xs)

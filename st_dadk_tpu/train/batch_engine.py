@@ -270,26 +270,86 @@ def run_job_batches(
     epochs_chunk: int = 100,
     mesh: Optional[Mesh] = None,
 ) -> List[Dict[str, Any]]:
-    """Pipelined stream of job batches: while batch k+1 trains on device,
-    batch k's finalize (result pulls + eval dispatch + artifacts) runs on a
-    host thread. The device queue serializes compute; the overlap hides the
-    host-side transfer/IO time (~0.7 s/batch through the tunnel), which is
-    the steady-state regime of a long grid search."""
+    """Pipelined stream of job batches. While batch k trains on device:
+      - batch k+1's host preparation (seed-exact masks, stacking, LR tables)
+        runs on a prepare thread (the device would otherwise idle through
+        those ~0.4 s of host work), and
+      - batch k-1's finalize (result pulls + eval dispatch + artifacts) runs
+        on a finalize thread.
+    The device queue serializes the actual compute; global-numpy-RNG sections
+    are mutually excluded via utils.seed.GLOBAL_NP_RNG_LOCK, which preserves
+    the engines' bit-exact mask/init streams."""
     from concurrent.futures import ThreadPoolExecutor
 
     results: List[Dict[str, Any]] = []
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = None
-        for jobs in batches:
-            state = _train_job_batch(jobs, skip_existing=skip_existing,
-                                     verbose=verbose,
-                                     epochs_chunk=epochs_chunk, mesh=mesh)
-            if fut is not None:
-                results.extend(fut.result())
-            fut = ex.submit(_finalize_job_batch, state) if state else None
-        if fut is not None:
-            results.extend(fut.result())
+    it = iter(batches)
+    with ThreadPoolExecutor(max_workers=1) as prep_ex, \
+            ThreadPoolExecutor(max_workers=1) as fin_ex:
+
+        def submit_next_prepare():
+            jobs = next(it, None)
+            if jobs is None:
+                return None
+            return prep_ex.submit(_prepare_job_batch, jobs,
+                                  skip_existing=skip_existing)
+
+        prep_fut = submit_next_prepare()
+        fin_fut = None
+        while prep_fut is not None:
+            prep = prep_fut.result()
+            prep_fut = submit_next_prepare()   # overlaps this batch's training
+            state = (_execute_job_batch(prep, verbose=verbose,
+                                        epochs_chunk=epochs_chunk, mesh=mesh)
+                     if prep is not None else [])
+            if fin_fut is not None:
+                results.extend(fin_fut.result())
+            fin_fut = fin_ex.submit(_finalize_job_batch, state) if state \
+                else None
+        if fin_fut is not None:
+            results.extend(fin_fut.result())
     return results
+
+
+def _prepare_job_batch(
+    jobs: List,
+    skip_existing: bool = False,
+) -> Optional[Dict[str, Any]]:
+    """Pure-host batch preparation: per-lane setups (seed-exact masks),
+    stacked lane data, LR tables, loop spec. No jax dispatch happens here, so
+    `run_job_batches` can run this for batch k+1 on a host thread while batch
+    k trains on the device (the device would otherwise idle ~0.5 s/batch
+    through these host phases)."""
+    t_start = time.time()
+
+    todo = []
+    for cfg_i, exp_id, out_dir in jobs:
+        if skip_existing and (Path(out_dir) / "results.json").exists():
+            continue
+        todo.append((cfg_i, exp_id, Path(out_dir)))
+    if not todo:
+        return None
+
+    cfg = todo[0][0]
+    keys0 = {stacking_key(c) for c, _, _ in todo}
+    if len(keys0) != 1:
+        raise ValueError("run_job_batch: configs are not stackable "
+                         "(differing model/loop hyperparameters)")
+
+    from st_dadk_tpu.utils.seed import GLOBAL_NP_RNG_LOCK
+
+    setups = []
+    with GLOBAL_NP_RNG_LOCK:      # mask sampling seeds the global numpy RNG
+        for cfg_i, exp_id, out_dir in todo:
+            s = ExperimentSetup(cfg_i, exp_id, verbose=False,
+                                defer_model=True)
+            s.cfg = cfg_i
+            s.out_dir = out_dir
+            setups.append(s)
+    shapes = {(s.T, s.S) for s in setups}
+    if len(shapes) != 1:
+        raise ValueError(f"run_job_batch: dataset shapes differ: {shapes}")
+    return dict(cfg=cfg, setups=setups, t_start=t_start,
+                t_prep=time.time() - t_start)
 
 
 def _train_job_batch(
@@ -302,33 +362,25 @@ def _train_job_batch(
     """Setup + batched init + the chunked training loop. Returns the state
     `_finalize_job_batch` needs; result pulls happen there so a caller can
     overlap them with the next batch's training."""
-    t_start = time.time()
-
-    todo = []
-    for cfg_i, exp_id, out_dir in jobs:
-        if skip_existing and (Path(out_dir) / "results.json").exists():
-            continue
-        todo.append((cfg_i, exp_id, Path(out_dir)))
-    if not todo:
+    prep = _prepare_job_batch(jobs, skip_existing=skip_existing)
+    if prep is None:
         return []
+    return _execute_job_batch(prep, verbose=verbose,
+                              epochs_chunk=epochs_chunk, mesh=mesh)
 
-    cfg = todo[0][0]
-    keys0 = {stacking_key(c) for c, _, _ in todo}
-    if len(keys0) != 1:
-        raise ValueError("run_job_batch: configs are not stackable "
-                         "(differing model/loop hyperparameters)")
 
-    # -- per-lane setup on host (seed-exact masks) + batched model init ------
+def _execute_job_batch(
+    prep: Dict[str, Any],
+    verbose: bool = False,
+    epochs_chunk: int = 100,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, Any]:
+    """Device side of one batch: batched data-adaptive init, lane upload,
+    and the chunked training loop."""
+    cfg, setups = prep["cfg"], prep["setups"]
+    t_start = prep["t_start"]
+
     t_phase = time.time()
-    setups = []
-    for cfg_i, exp_id, out_dir in todo:
-        s = ExperimentSetup(cfg_i, exp_id, verbose=False, defer_model=True)
-        s.cfg = cfg_i
-        s.out_dir = out_dir
-        setups.append(s)
-    shapes = {(s.T, s.S) for s in setups}
-    if len(shapes) != 1:
-        raise ValueError(f"run_job_batch: dataset shapes differ: {shapes}")
     keys = jnp.stack([jax.random.PRNGKey(s.experiment_seed) for s in setups])
     needs_coords = cfg.spatial_init_method in ("gmm", "random_site",
                                                "kmeans_balanced",
@@ -341,7 +393,7 @@ def _train_job_batch(
         rng_states=[s.np_rng_state for s in setups])
     centers_b = jnp.asarray(np.stack([c for c, _ in inits]))
     bw_b = jnp.asarray(np.stack([b for _, b in inits]))
-    t_setup = time.time() - t_phase
+    t_setup = prep["t_prep"] + (time.time() - t_phase)
     spec_model = setups[0].spec
 
     batch_size = adaptive_batch_size(
@@ -461,7 +513,7 @@ def _train_job_batch(
             break
 
     wall = time.time() - t_start
-    t_train = time.time() - t_phase
+    t_train = prep["t_prep"] + (time.time() - t_phase)
     if verbose:
         print(f"[batch] {M} experiments x {epochs_done} epochs in "
               f"{wall:.1f}s on {n_dev} device(s) "

@@ -8,8 +8,19 @@ for everything on-device. There is no cudnn-style nondeterminism to pin.
 from __future__ import annotations
 
 import random
+import threading
 
 import numpy as np
+
+# Serializes every section that seeds/restores-and-draws from the GLOBAL
+# numpy RNG (mask sampling in ExperimentSetup, subsample/site draws in
+# init_spatial_centers_batch). Those sections are individually deterministic
+# (each re-seeds or set_state()s before drawing), so mutual exclusion alone
+# preserves bit-exactness when the pipelined batch engine runs host
+# preparation of batch k+1 on a thread while batch k trains (see
+# train/batch_engine.py::run_job_batches). RLock: the sequential init path
+# is reachable from inside an already-locked batch-init section.
+GLOBAL_NP_RNG_LOCK = threading.RLock()
 
 
 def set_seed(seed: int):

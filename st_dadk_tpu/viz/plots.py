@@ -75,8 +75,9 @@ def plot_predictions(cfg, spec, params, consts, z_full: np.ndarray,
     from st_dadk_tpu.train.loop import predict
 
     T, S = z_full.shape
-    np.random.seed(42)
-    t_indices = sorted(np.random.choice(T, size=min(n_times, T),
+    # local generator: finalize runs on a thread in the pipelined batch
+    # engine, so plotting must not touch the global numpy RNG
+    t_indices = sorted(np.random.default_rng(42).choice(T, size=min(n_times, T),
                                         replace=False))
 
     centers = np.asarray(spatial_params(spec, params, consts)[0])
