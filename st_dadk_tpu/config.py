@@ -98,7 +98,9 @@ class ExperimentConfig:
 
     # -- TPU-framework extras (no reference equivalent) ---------------------------
     data_root: Optional[str] = None            # prefix for relative data_file paths
-    use_pallas: bool = True                    # Pallas basis kernel on TPU (jnp fallback elsewhere)
+    use_pallas: bool = True                    # Pallas fused kernel for dense inference on TPU
+    use_pallas_training: bool = False          # opt-in Pallas basis embed in the TRAINING forward
+                                               # (measured slower than XLA-fused jnp there; see ModelSpec)
     use_fused_training: bool = False           # opt-in fused basis->layer-1 TRAINING kernel (see ModelSpec)
     dropout_rng: str = "rbg"                   # dropout mask generator: 'rbg' (TPU-native
                                                # hardware bit generator, ~25% faster scans) or

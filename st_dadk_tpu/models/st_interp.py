@@ -52,6 +52,13 @@ class ModelSpec:
     output_dim: int = 1
     use_delta_reparameterization: bool = False
     use_pallas: bool = False
+    # opt-in: route the TRAINING forward's basis embed through the Pallas
+    # kernel too. Measured on v5e (docs/BENCHMARKS.md): the opaque kernel
+    # call breaks XLA fusion inside the epoch scan and is ~27% SLOWER than
+    # the jnp embed there (1.345s vs 1.057s per 100-epoch vmapped chunk), so
+    # training defaults to jnp; use_pallas keeps governing the fused
+    # dense-inference path, where the kernel wins.
+    use_pallas_training: bool = False
     # opt-in: fused basis->layer-1 kernel in the TRAINING forward too.
     # Measured on v5e (docs/BENCHMARKS.md): neutral at small batches and
     # ~15% slower at N >= 32k (the backward re-does the g @ W^T tile matmul
@@ -93,6 +100,7 @@ def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -
         output_dim=cfg.output_dim,
         use_delta_reparameterization=cfg.use_delta_reparameterization,
         use_pallas=cfg.use_pallas if use_pallas is None else use_pallas,
+        use_pallas_training=cfg.use_pallas_training,
         use_fused_training=cfg.use_fused_training,
     )
 
@@ -178,7 +186,7 @@ def spatial_params(spec: ModelSpec, params: Params, consts: Consts
 def _embed(spec: ModelSpec, params: Params, consts: Consts,
            coords: jax.Array, t: jax.Array) -> jax.Array:
     centers, bandwidths = spatial_params(spec, params, consts)
-    if spec.use_pallas:
+    if spec.use_pallas and spec.use_pallas_training:
         from st_dadk_tpu.ops.pallas_basis import spatial_basis_embed_pallas
         phi = spatial_basis_embed_pallas(coords, centers, bandwidths,
                                          spec.spatial_basis_function)

@@ -56,29 +56,33 @@ def auction_assign_balanced(cost: np.ndarray, caps: np.ndarray,
     spread = float(value.max() - value.min())
     eps = max(spread / 8.0, eps_final)
 
-    # per-column slot prices (persist across scales: standard eps-scaling
-    # warm start) and slot occupants (cleared each scale)
-    sp = [np.zeros(int(c)) for c in caps]
+    # per-column slot prices as one padded (m, cmax) array (+inf pads), so
+    # the cheapest/2nd-cheapest scan per bidding round is a single
+    # np.partition over the matrix instead of a Python loop over columns
+    # (roadmap: auction vectorization). Prices persist across scales
+    # (standard eps-scaling warm start); occupants are cleared each scale.
+    cmax = int(caps.max())
+    sp = np.full((m, cmax), np.inf)
+    for j in range(m):
+        sp[j, : caps[j]] = 0.0
     assignment = np.full(n, -1, np.int64)
 
     while True:
-        occ = [np.full(int(c), -1, np.int64) for c in caps]
+        occ = np.full((m, cmax), -1, np.int64)
         assignment.fill(-1)
 
         while True:
             U = np.where(assignment < 0)[0]
             if U.size == 0:
                 break
-            # cheapest and second-cheapest slot price per column
-            p1 = np.empty(m)
-            p2 = np.empty(m)
-            for j in range(m):
-                s = sp[j]
-                if len(s) == 1:
-                    p1[j], p2[j] = s[0], np.inf
-                else:
-                    two = np.partition(s, 1)[:2]
-                    p1[j], p2[j] = two[0], two[1]
+            # cheapest and second-cheapest slot price per column (vectorized;
+            # +inf padding makes single-slot columns yield p2 = inf)
+            if cmax == 1:
+                p1 = sp[:, 0]
+                p2 = np.full(m, np.inf)
+            else:
+                two = np.partition(sp, 1, axis=1)[:, :2]
+                p1, p2 = two[:, 0], two[:, 1]
 
             V1 = value[U] - p1[None, :]
             j1 = np.argmax(V1, axis=1)
@@ -111,7 +115,7 @@ def auction_assign_balanced(cost: np.ndarray, caps: np.ndarray,
         if eps <= eps_final:
             out = np.empty(n, np.int64)
             for j in range(m):
-                out[occ[j]] = j
+                out[occ[j, : caps[j]]] = j
             return out
         eps = max(eps / scale_factor, eps_final)
 
