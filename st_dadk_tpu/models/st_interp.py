@@ -62,8 +62,8 @@ class ModelSpec:
     # opt-in: fused basis->layer-1 kernel in the TRAINING forward too.
     # Measured on v5e (docs/BENCHMARKS.md): neutral at small batches and
     # ~15% slower at N >= 32k (the backward re-does the g @ W^T tile matmul
-    # in two kernels), so training defaults to the pallas basis kernel +
-    # XLA-fused first layer; inference always uses the fused kernel.
+    # in two kernels), so training defaults to the fully XLA-fused jnp
+    # graph; inference always uses the fused kernel.
     use_fused_training: bool = False
 
     @property
