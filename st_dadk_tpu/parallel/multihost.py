@@ -222,6 +222,65 @@ def process_lane_slice(M: int, mesh, axis: str = "exp",
     return slice(lo * per, hi * per)
 
 
+def process_info() -> tuple:
+    """(process_count, process_index) — the one seam batch-engine gating
+    consults, so tests can monkeypatch a fake pod onto a single machine."""
+    return jax.process_count(), jax.process_index()
+
+
+def is_primary() -> bool:
+    """True on the process that owns cross-lane aggregation/summary IO."""
+    return process_info()[1] == 0
+
+
+def sync_processes(name: str = "st_dadk_barrier") -> None:
+    """Cross-process barrier (no-op single-process).
+
+    Used between per-lane artifact writes and primary-process aggregation so
+    the summary pass on process 0 sees every host's results.json on the
+    shared filesystem."""
+    if process_info()[0] > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def fetch_lane_rows(x, sl: slice) -> np.ndarray:
+    """Host-fetch rows [sl] of a lane-major (global axis 0) jax array.
+
+    Fully addressable arrays (single process, or replicated) go through one
+    plain transfer. On a multi-process mesh a global jax.Array spans
+    non-addressable devices and np.asarray() raises — there, the requested
+    rows are assembled from this process's addressable shards (which is why
+    callers must request only their `process_lane_slice` block)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)[sl]
+    n_rows = sl.stop - sl.start
+    out = None
+    filled = np.zeros(n_rows, bool)
+    for shard in x.addressable_shards:
+        i0 = shard.index[0] if shard.index else slice(None)
+        start = i0.start if i0.start is not None else 0
+        stop = i0.stop if i0.stop is not None else x.shape[0]
+        lo, hi = max(start, sl.start), min(stop, sl.stop)
+        if lo >= hi:
+            continue
+        data = np.asarray(shard.data)
+        if out is None:
+            out = np.empty((n_rows,) + tuple(x.shape[1:]), data.dtype)
+        out[lo - sl.start:hi - sl.start] = data[lo - start:hi - start]
+        filled[lo - sl.start:hi - sl.start] = True
+    if out is None or not filled.all():
+        raise ValueError(
+            f"lane rows {sl} are not addressable on process "
+            f"{process_info()[1]}; request only process_lane_slice rows")
+    return out
+
+
+def fetch_lane_tree(tree, sl: slice):
+    """fetch_lane_rows over every leaf of a lane-major pytree."""
+    return jax.tree_util.tree_map(lambda x: fetch_lane_rows(x, sl), tree)
+
+
 def shard_lanes_multihost(tree, mesh: Mesh, axis: str = "exp"):
     """Place a GLOBALLY-shaped stacked pytree, lane axis sharded over `axis`.
 

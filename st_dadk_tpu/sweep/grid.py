@@ -198,7 +198,9 @@ def run_grid_search(
                 all_results.append({"config": config, "summary": None,
                                     "status": "failed", "error": str(e)})
 
-    save_experiment_results(all_results, output_dir)
+    from st_dadk_tpu.parallel.multihost import is_primary
+    if is_primary():
+        save_experiment_results(all_results, output_dir)
     return all_results
 
 
@@ -240,6 +242,13 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
             traceback.print_exc()
             for i in members:
                 failed[i] = str(e)
+
+    # multi-process: every host wrote its own lanes' results.json; aggregate
+    # once, on the primary, after all writes are visible
+    from st_dadk_tpu.parallel.multihost import is_primary, sync_processes
+    sync_processes("st_dadk_grid_aggregate")
+    if not is_primary():
+        return []
 
     all_results = []
     for i, config in enumerate(configs):

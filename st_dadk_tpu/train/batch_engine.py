@@ -522,27 +522,57 @@ def _execute_job_batch(
     return dict(cfg=cfg, setups=setups, spec=spec, spec_model=spec_model,
                 carry_b=carry_b, consts_b=consts_b, consts_host=consts_host,
                 hists=hists, ce=ce, epochs_done=epochs_done,
-                lr_recorded_lanes=lr_recorded_lanes, M=M, wall=wall,
+                lr_recorded_lanes=lr_recorded_lanes, M=M, M_pad=M + pad_lanes,
+                mesh=mesh, wall=wall,
                 t_setup=t_setup, t_train=t_train, verbose=verbose)
 
 
+def _owned_lane_slice(state: Dict[str, Any]) -> slice:
+    """Real-lane block this process finalizes. Single-process: all lanes.
+
+    Multi-process (pod): each host pulls, evaluates, and writes artifacts
+    ONLY for the lanes living on its devices (`process_lane_slice` over the
+    padded lane axis, intersected with the real lanes) — per-lane artifact IO
+    never crosses processes, and the non-owned lane rows (which are not
+    addressable locally) are never fetched."""
+    from st_dadk_tpu.parallel.multihost import process_info, process_lane_slice
+
+    M = state["M"]
+    pc, _ = process_info()
+    mesh = state.get("mesh")
+    if pc == 1 or mesh is None:
+        return slice(0, M)
+    sl = process_lane_slice(state["M_pad"], mesh, state["cfg"].mesh_axis)
+    return slice(min(sl.start, M), min(sl.stop, M))
+
+
 def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
-    """Pull results + batched eval + per-lane artifacts for a trained batch."""
+    """Pull results + batched eval + per-lane artifacts for a trained batch.
+
+    Returns results for THIS process's lanes only (all lanes single-process);
+    cross-lane summaries re-scan results.json from the shared filesystem on
+    the primary process (train/runner.py)."""
+    from st_dadk_tpu.parallel.multihost import fetch_lane_rows, process_info
     from st_dadk_tpu.train.loop import (pull_serving_state,
                                         select_serving_device)
 
     cfg = state["cfg"]
-    setups = state["setups"]
     spec, spec_model = state["spec"], state["spec_model"]
     carry_b, consts_b = state["carry_b"], state["consts_b"]
     M, epochs_done = state["M"], state["epochs_done"]
     t_setup, t_train, wall = state["t_setup"], state["t_train"], state["wall"]
     t_phase = time.time()
 
-    history_b = {k: np.concatenate([np.asarray(h[k]) for h in state["hists"]],
-                                   axis=1)
+    sl = _owned_lane_slice(state)
+    setups = state["setups"][sl]
+    lr_recorded = state["lr_recorded_lanes"][sl]
+
+    history_b = {k: np.concatenate([fetch_lane_rows(h[k], sl)
+                                    for h in state["hists"]], axis=1)
                  for k in state["hists"][0]}
-    serve_host, scal_host = pull_serving_state(carry_b)
+    serve_host, scal_host = pull_serving_state(carry_b, lanes=sl)
+    consts_host = jax.tree_util.tree_map(lambda x: x[sl],
+                                         state["consts_host"])
 
     # -- batched evaluation: ONE vmapped dense-grid predict for all lanes ----
     # (lanes share the dataset; per-split metrics + predictions.npz payloads
@@ -555,9 +585,12 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
         for s in setups)
     precomputed_lanes = None
     try:
-        if needs_field:
+        if needs_field or process_info()[0] > 1:
+            # host path: already restricted to the owned lane block (the
+            # all-device metrics program would need a global dispatch from
+            # every process — the tunnel it optimizes is single-host anyway)
             precomputed_lanes = _batched_eval(cfg, spec_model, serve_host,
-                                              state["consts_host"], setups,
+                                              consts_host, setups,
                                               len(setups))
         else:
             serve_d, _ = select_serving_device(carry_b)
@@ -580,7 +613,7 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
         }
         lane_hist = {k: v[li] for k, v in history_b.items()}
         fit_res: FitResult = assemble_result(spec, lane_carry, lane_hist,
-                                             state["lr_recorded_lanes"][li],
+                                             lr_recorded[li],
                                              epochs_done)
         out_dir = s.out_dir
         out_dir.mkdir(parents=True, exist_ok=True)

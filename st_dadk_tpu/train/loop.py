@@ -600,11 +600,16 @@ def select_serving_device(carry_b: Dict[str, Any]) -> Params:
     return _SELECT_JIT(carry_b)
 
 
-def pull_tree(tree_b: Params) -> Params:
+def pull_tree(tree_b: Params, lanes: Optional[slice] = None) -> Params:
     """Pull a batched param tree host-side as ONE flat transfer.
 
     Per-leaf np.asarray costs a tunnel round trip per leaf (dozens per carry);
-    flattening on device first makes it a single transfer."""
+    flattening on device first makes it a single transfer. `lanes` restricts
+    the pull to a lane-row block — on a multi-process mesh each process may
+    only fetch its own `process_lane_slice` rows (the rest are not
+    addressable locally)."""
+    from st_dadk_tpu.parallel.multihost import fetch_lane_rows
+
     global _FLAT_JIT
     if _FLAT_JIT is None:
         def program(tree):
@@ -612,7 +617,10 @@ def pull_tree(tree_b: Params) -> Params:
             M = leaves[0].shape[0]
             return jnp.concatenate([l.reshape(M, -1) for l in leaves], axis=1)
         _FLAT_JIT = jax.jit(program)
-    flat = np.asarray(_FLAT_JIT(tree_b))
+    flat_d = _FLAT_JIT(tree_b)
+    if lanes is None:
+        lanes = slice(0, flat_d.shape[0])
+    flat = fetch_lane_rows(flat_d, lanes)
     leaves, treedef = jax.tree_util.tree_flatten(tree_b)
     M = flat.shape[0]
     out_leaves, off = [], 0
@@ -623,7 +631,8 @@ def pull_tree(tree_b: Params) -> Params:
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
-def pull_serving_state(carry_b: Dict[str, Any]
+def pull_serving_state(carry_b: Dict[str, Any],
+                       lanes: Optional[slice] = None
                        ) -> Tuple[Params, Dict[str, np.ndarray]]:
     """Select each lane's serving params ON DEVICE and pull them as ONE flat
     buffer plus one scalar block.
@@ -631,10 +640,17 @@ def pull_serving_state(carry_b: Dict[str, Any]
     Pulling the whole carry instead costs 5x the bytes (params + both Adam
     moments + EMA + best-EMA) across dozens of per-leaf transfers — ~3.6 s
     per batch through the remote-TPU tunnel vs ~0.2 s for this path
-    (measured, scripts/profile_batch.py)."""
+    (measured, scripts/profile_batch.py). `lanes` restricts the fetch to one
+    process's lane block on multi-process meshes (scal is (4, M): lane rows
+    live on axis 1, fetched via its transpose)."""
+    from st_dadk_tpu.parallel.multihost import fetch_lane_rows
+
     serve_d, scal_d = select_serving_device(carry_b)
-    serve = pull_tree(serve_d)
-    scal = np.asarray(scal_d)
+    serve = pull_tree(serve_d, lanes)
+    if lanes is None:
+        scal = np.asarray(scal_d)
+    else:
+        scal = fetch_lane_rows(jnp.swapaxes(scal_d, 0, 1), lanes).T
     scalars = {
         "best_val": scal[0],
         "has_best": scal[1].astype(bool),

@@ -166,6 +166,13 @@ def run_multiple_experiments(
                     f.write(traceback.format_exc())
                 continue
 
+    # On a multi-process mesh each process wrote only ITS lanes' artifacts
+    # (batch_engine._owned_lane_slice); wait for every host's writes to land
+    # on the shared filesystem, then aggregate once on the primary process.
+    from st_dadk_tpu.parallel.multihost import is_primary, sync_processes
+    sync_processes("st_dadk_aggregate")
+    if not is_primary():
+        return None
     all_results = load_all_results(experiments_dir, n_experiments)
     if all_results:
         return aggregate_results(all_results, output_dir / "summary")
