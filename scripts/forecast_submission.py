@@ -19,6 +19,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from st_dadk_tpu.utils.platform import apply_platform_env  # noqa: E402
+apply_platform_env()
+
 import jax
 import numpy as np
 import pandas as pd

@@ -35,6 +35,9 @@ import pandas as pd
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from st_dadk_tpu.utils.platform import apply_platform_env  # noqa: E402
+apply_platform_env()
+
 
 def fit_2a_covariance(path_2a: Path, n_bins: int = 24, max_h: float = 0.5):
     """Estimate (phi_t, matern params (sigma2, range, nu fixed 1), nugget)

@@ -44,23 +44,35 @@ MAX_INIT_SAMPLES = 10_000
 # ---------------------------------------------------------------------------
 
 def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
-                     w: Optional[jax.Array] = None) -> jax.Array:
+                     w: Optional[jax.Array] = None,
+                     k_active: Optional[jax.Array] = None) -> jax.Array:
     """k-means++ seeding over X (n, d) -> (k, d).
 
     Optional nonnegative point weights `w` (zero-weight rows are padding and
-    are never selected); w=None compiles the exact unweighted program."""
-    n = X.shape[0]
+    are never selected); w=None compiles the exact unweighted program.
 
-    def body(carry, _):
+    `k_active` (traced scalar <= k) seeds only the first k_active centers —
+    steps beyond it are masked no-ops, so resolutions with different true k
+    share ONE padded program (the key chain advances identically through the
+    real steps, making the active prefix match the unpadded program's draws).
+    Rows [k_active:] of the result are junk the caller must mask."""
+    n = X.shape[0]
+    if k_active is None:
+        k_active = jnp.asarray(k, jnp.int32)
+
+    def body(carry, step):
         key, centers, d2 = carry
         key, sub = jax.random.split(key)
         scores = d2 if w is None else d2 * w
         probs = scores / jnp.maximum(scores.sum(), 1e-12)
         idx = jax.random.choice(sub, n, p=probs)
         c_new = X[idx]
+        upd = step < k_active - 1
         d2_new = jnp.minimum(d2, jnp.sum((X - c_new) ** 2, axis=1))
-        centers = jnp.roll(centers, -1, axis=0).at[-1].set(c_new)
-        return (key, centers, d2_new), None
+        centers_new = jnp.roll(centers, -1, axis=0).at[-1].set(c_new)
+        centers = jnp.where(upd, centers_new, centers)
+        d2 = jnp.where(upd, d2_new, d2)
+        return (key, centers, d2), None
 
     key, sub = jax.random.split(key)
     if w is None:
@@ -69,9 +81,12 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
         first = X[jax.random.choice(sub, n, p=w / jnp.maximum(w.sum(), 1e-12))]
     centers0 = jnp.tile(first[None], (k, 1))
     d2_0 = jnp.sum((X - first) ** 2, axis=1)
-    (key, centers, _), _ = jax.lax.scan(body, (key, centers0, d2_0),
-                                        None, length=k - 1)
-    return centers
+    (key, centers, _), _ = jax.lax.scan(
+        body, (key, centers0, d2_0),
+        jnp.arange(k - 1, dtype=jnp.int32), length=k - 1)
+    # the k_active seeded centers sit in the LAST rows after the rolls; move
+    # them to the front (identity when k_active == k)
+    return jnp.roll(centers, k_active, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +97,8 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
 def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
                   max_iter: int = 100, n_init: int = 3,
                   reg_covar: float = 1e-6, tol: float = 1e-3,
-                  w: Optional[jax.Array] = None
+                  w: Optional[jax.Array] = None,
+                  k_active: Optional[jax.Array] = None
                   ) -> Tuple[jax.Array, jax.Array]:
     """Fit a spherical GMM; returns (means (k,2), sigmas (k,)).
 
@@ -96,9 +112,19 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
     contributes nothing to any statistic — this is how lanes with different
     subsample sizes share one vmapped batch. w=None keeps the exact
     unweighted program.
+
+    Optional `k_active` (traced scalar <= k): only the first k_active
+    components exist; the rest are masked to exactly-zero responsibility
+    every E-step, so different basis RESOLUTIONS pad to a common k and run
+    as one vmapped program (a multi-resolution init is then ONE while_loop
+    of max-iterations latency instead of one per resolution). Rows
+    [k_active:] of the outputs are junk the caller slices off.
     """
     n, d = X.shape
     w_sum = None if w is None else jnp.maximum(jnp.sum(w), 1e-12)
+    active = (None if k_active is None
+              else jnp.arange(k) < k_active)    # (k,) component mask
+    k_eff = jnp.asarray(k, jnp.float32) if k_active is None else k_active
 
     def pairwise_d2(means):
         # explicit elementwise differences: the |x|^2+|c|^2-2xc matmul trick
@@ -109,14 +135,15 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
         return jnp.sum(diff * diff, axis=-1)              # (n, k)
 
     def em_once(subkey):
-        means0 = kmeans_plus_plus(subkey, X, k, w=w)
+        means0 = kmeans_plus_plus(subkey, X, k, w=w, k_active=k_active)
         if w is None:
             var0 = jnp.var(X) * jnp.ones((k,)) + reg_covar
         else:
             mu = jnp.sum(X * w[:, None], 0) / w_sum
             var0 = (jnp.sum(w[:, None] * (X - mu) ** 2) / (w_sum * d)
                     * jnp.ones((k,)) + reg_covar)
-        weights0 = jnp.full((k,), 1.0 / k)
+        weights0 = (jnp.full((k,), 1.0 / k) if active is None
+                    else jnp.where(active, 1.0 / k_eff, 0.0))
 
         def estep(d2, var, weights):
             # manual logsumexp: ONE exp pass (logsumexp + a separate resp
@@ -125,6 +152,10 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
             log_w = jnp.log(jnp.maximum(weights, 1e-30))
             log_prob = (-0.5 * (d2 / var[None] + d * jnp.log(2 * jnp.pi * var)[None])
                         + log_w[None])
+            if active is not None:
+                # exp(-1e30 - m) underflows to exactly 0: padded components
+                # get exactly-zero responsibility and never perturb the sums
+                log_prob = jnp.where(active[None], log_prob, -1e30)
             m = jnp.max(log_prob, axis=1, keepdims=True)
             p = jnp.exp(log_prob - m)
             s = jnp.sum(p, axis=1, keepdims=True)
@@ -178,7 +209,8 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
 def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
                     max_iter: int = 50, sinkhorn_iters: int = 40,
                     eps_scale: float = 0.02, n_init: int = 3,
-                    w: Optional[jax.Array] = None) -> jax.Array:
+                    w: Optional[jax.Array] = None,
+                    k_active: Optional[jax.Array] = None) -> jax.Array:
     """Balanced k-means via Sinkhorn optimal transport. Returns centers (k, 2).
 
     Each Lloyd iteration solves an entropically regularized OT problem
@@ -189,6 +221,11 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
     (st_interp.py:340-431), without a combinatorial solver. `n_init`
     k-means++-seeded restarts keep the best final transport cost, mirroring
     the reference's n_init=3 (st_interp.py:387-394).
+
+    Optional `k_active` (traced scalar <= k): clusters [k_active:] get
+    -inf log-capacity, so the transport plan routes exactly zero mass to
+    them — different resolutions pad to one k and share one program (see
+    gmm_spherical). Rows [k_active:] of the result are junk.
     """
     n = X.shape[0]
     if w is None:
@@ -199,18 +236,34 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
                           jnp.log(jnp.maximum(w, 1e-30)
                                   / jnp.maximum(jnp.sum(w), 1e-12)),
                           -1e30)
-    log_b = -jnp.log(float(k))          # per-cluster capacity 1/k
+    if k_active is None:
+        active = None
+        k_eff = float(k)
+        log_b = -jnp.log(float(k))      # per-cluster capacity 1/k
+    else:
+        active = jnp.arange(k) < k_active                    # (k,)
+        k_eff = k_active.astype(jnp.float32)
+        log_b = jnp.where(active, -jnp.log(k_eff), -1e30)
 
     def pairwise(centers):
         diff = X[:, None, :] - centers[None, :, :]
         return jnp.sum(diff * diff, axis=-1)                 # (n, k) >= 0
 
+    def _active_mean_d2(d2):
+        # mean over ACTIVE columns only (pad columns' distances would shift
+        # the entropic eps away from the unpadded program's value)
+        if active is None:
+            return jnp.mean(d2)
+        return jnp.sum(d2 * active[None]) / (n * k_eff)
+
     def ot_plan(d2):
         if w is None:
-            eps = eps_scale * jnp.mean(d2) + 1e-9
+            eps = eps_scale * _active_mean_d2(d2) + 1e-9
         else:
-            eps = (eps_scale * jnp.sum(d2 * w[:, None])
-                   / jnp.maximum(jnp.sum(w) * k, 1e-12) + 1e-9)
+            eps = (eps_scale * jnp.sum(d2 * w[:, None]
+                                       * (1.0 if active is None
+                                          else active[None]))
+                   / jnp.maximum(jnp.sum(w) * k_eff, 1e-12) + 1e-9)
 
         def sink(carry, _):
             f, g = carry
@@ -230,7 +283,7 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
             mass = P.sum(axis=0) + 1e-12                      # ~1/k each
             return (P.T @ X) / mass[:, None], None
 
-        centers0 = kmeans_plus_plus(subkey, X, k, w=w)
+        centers0 = kmeans_plus_plus(subkey, X, k, w=w, k_active=k_active)
         centers, _ = jax.lax.scan(body, centers0, None, length=max_iter)
         d2 = pairwise(centers)
         cost = jnp.sum(ot_plan(d2) * d2)
@@ -288,7 +341,14 @@ _BATCH_FIT_CACHE = {}
 
 def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool):
     """All resolutions of a batched GMM init as ONE device program
-    (per-resolution dispatches each pay a tunnel round trip)."""
+    (per-resolution dispatches each pay a tunnel round trip).
+
+    Resolutions run as sequential EM programs inside the one dispatch. A
+    k_active-masked merge (pad all resolutions to max(ks) and vmap them —
+    the kernels support it, see gmm_spherical) was measured SLOWER at the
+    bench workload's [25, 81, 121]: EM is HBM-throughput-bound, so padding
+    25/81 up to 121 costs ~1.6x traffic, which beats the saved while_loop
+    latency (1.05 s merged vs 0.64 s sequential per M=16 batch)."""
     key = ("gmm_multi", ks, weighted)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:
@@ -310,6 +370,8 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool):
 
 
 def _batched_bkm_multi(ks: Tuple[int, ...], weighted: bool):
+    """One-dispatch multi-resolution balanced k-means (see _batched_gmm_multi
+    for why resolutions are sequential, not k_active-merged)."""
     key = ("bkm_multi", ks, weighted)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:

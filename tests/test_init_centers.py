@@ -173,3 +173,39 @@ class TestCrossEngineInitEquality:
         seq, bat = self._run_both("kmeans_balanced", [9], states, coords)
         for (c1, _), (c2, _) in zip(seq, bat):
             np.testing.assert_allclose(c2, c1, rtol=1e-4, atol=1e-5)
+
+
+class TestKActiveMasking:
+    """k_active-padded programs must reproduce the unpadded per-resolution
+    programs in their active prefix — the property that lets a
+    multi-resolution init run as ONE merged vmapped program
+    (_batched_gmm_multi/_batched_bkm_multi)."""
+
+    def test_gmm_padded_matches_unpadded(self):
+        X = jnp.asarray(_two_clusters(500, 9))
+        for k in (4, 9):
+            m1, s1 = gmm_spherical(jax.random.PRNGKey(7), X, k)
+            m2, s2 = gmm_spherical(jax.random.PRNGKey(7), X, 16,
+                                   k_active=jnp.asarray(k, jnp.int32))
+            np.testing.assert_allclose(np.asarray(m2)[:k], np.asarray(m1),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(s2)[:k], np.asarray(s1),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_balanced_kmeans_padded_matches_unpadded(self):
+        from st_dadk_tpu.ops.init_centers import balanced_kmeans
+        X = jnp.asarray(_two_clusters(500, 11))
+        for k in (4, 8):
+            c1 = balanced_kmeans(jax.random.PRNGKey(8), X, k)
+            c2 = balanced_kmeans(jax.random.PRNGKey(8), X, 12,
+                                 k_active=jnp.asarray(k, jnp.int32))
+            np.testing.assert_allclose(np.asarray(c2)[:k], np.asarray(c1),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_kmeans_pp_padded_prefix_matches(self):
+        from st_dadk_tpu.ops.init_centers import kmeans_plus_plus
+        X = jnp.asarray(_two_clusters(300, 3))
+        c1 = kmeans_plus_plus(jax.random.PRNGKey(9), X, 5)
+        c2 = kmeans_plus_plus(jax.random.PRNGKey(9), X, 11,
+                              k_active=jnp.asarray(5, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(c2)[:5], np.asarray(c1))
