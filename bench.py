@@ -97,7 +97,7 @@ def main() -> None:
         # warmup: compiles the whole-fit + init + eval programs
         log(f"[bench] warmup batch (M={M}) — compiling...")
         t0 = time.time()
-        run_job_batch(jobs_for(9999, tmp / "warm"), epochs_chunk=100)
+        run_job_batch(jobs_for(9999, tmp / "warm"), epochs_chunk=500)
         log(f"[bench] warmup done in {time.time()-t0:.1f}s")
 
         windows = []
@@ -117,7 +117,7 @@ def main() -> None:
                     if time.time() - t0 >= MIN_WINDOW_SECONDS:
                         return
 
-            window_results = run_job_batches(gen(), epochs_chunk=100)
+            window_results = run_job_batches(gen(), epochs_chunk=500)
             wall = time.time() - t0
             fits = len(window_results)
             rate = fits / wall * 3600.0

@@ -215,7 +215,7 @@ def run_experiment_batch(
     experiments_dir: Path,
     skip_existing: bool = False,
     verbose: bool = False,
-    epochs_chunk: int = 100,
+    epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
 ) -> List[Dict[str, Any]]:
     """Run all `exp_ids` of one config as a single vmapped program."""
@@ -248,7 +248,7 @@ def run_job_batch(
     jobs: List,
     skip_existing: bool = False,
     verbose: bool = False,
-    epochs_chunk: int = 100,
+    epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
 ) -> List[Dict[str, Any]]:
     """Run heterogeneous (cfg, experiment_id, output_dir) jobs as ONE vmapped
@@ -267,7 +267,7 @@ def run_job_batches(
     batches: List[List],
     skip_existing: bool = False,
     verbose: bool = False,
-    epochs_chunk: int = 100,
+    epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
 ) -> List[Dict[str, Any]]:
     """Pipelined stream of job batches. While batch k trains on device:
@@ -356,7 +356,7 @@ def _train_job_batch(
     jobs: List,
     skip_existing: bool = False,
     verbose: bool = False,
-    epochs_chunk: int = 100,
+    epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
 ) -> Optional[Dict[str, Any]]:
     """Setup + batched init + the chunked training loop. Returns the state
@@ -372,7 +372,7 @@ def _train_job_batch(
 def _execute_job_batch(
     prep: Dict[str, Any],
     verbose: bool = False,
-    epochs_chunk: int = 100,
+    epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
 ) -> Dict[str, Any]:
     """Device side of one batch: batched data-adaptive init, lane upload,
@@ -486,6 +486,12 @@ def _execute_job_batch(
     fit_chunk = jitted_fit_chunk(spec, vmapped=True, lr_per_lane=True)
 
     # -- chunked epoch loop (early exit when every lane has stopped) ----------
+    # Default chunk = 500 (one dispatch for the reference's full epoch budget):
+    # the epoch program is an early-exit while_loop, so a single big chunk
+    # stops at the batch's max stop epoch anyway, and dropping the per-chunk
+    # dispatch + stopped-sync turnarounds measured ~7% faster than the
+    # round-1 100-epoch grid with bit-identical results. Small-epoch configs
+    # still compile small programs (chunk = min(epochs_chunk, E)).
     ce = spec.centers_every
     hists = []
     epochs_done = 0
