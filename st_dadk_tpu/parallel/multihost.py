@@ -255,6 +255,11 @@ def fetch_lane_rows(x, sl: slice) -> np.ndarray:
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)[sl]
     n_rows = sl.stop - sl.start
+    if n_rows <= 0:
+        # a process can own zero REAL lanes (all its rows are pad dups);
+        # it still participates in the SPMD dispatches, just writes nothing
+        dtype = np.dtype(getattr(x, "dtype", np.float32))
+        return np.empty((0,) + tuple(x.shape[1:]), dtype)
     out = None
     filled = np.zeros(n_rows, bool)
     for shard in x.addressable_shards:

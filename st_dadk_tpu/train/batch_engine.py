@@ -278,8 +278,23 @@ def run_job_batches(
         on a finalize thread.
     The device queue serializes the actual compute; global-numpy-RNG sections
     are mutually excluded via utils.seed.GLOBAL_NP_RNG_LOCK, which preserves
-    the engines' bit-exact mask/init streams."""
+    the engines' bit-exact mask/init streams.
+
+    Multi-process (pod) runs fall back to the serial prepare/train/finalize
+    loop: every process must dispatch the SAME SPMD programs in the SAME
+    order, and the pipeline's prepare/finalize threads would interleave
+    dispatches differently on different hosts."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from st_dadk_tpu.parallel.multihost import process_info
+
+    if process_info()[0] > 1:
+        results = []
+        for jobs in batches:
+            results.extend(run_job_batch(jobs, skip_existing=skip_existing,
+                                         verbose=verbose,
+                                         epochs_chunk=epochs_chunk, mesh=mesh))
+        return results
 
     results: List[Dict[str, Any]] = []
     it = iter(batches)
@@ -498,14 +513,17 @@ def _execute_job_batch(
     while epochs_done < E:
         c = min(chunk, E - epochs_done)
         ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
-        lr_c = jnp.asarray(lr_steps[:, epochs_done:epochs_done + c])
+        lr_c = np.ascontiguousarray(lr_steps[:, epochs_done:epochs_done + c])
         active = jnp.ones((chunk,), bool)
         if c != chunk:
             pad = chunk - c
             ids = jnp.concatenate([ids, jnp.full((pad,), E - 1, jnp.int32)])
-            lr_c = jnp.concatenate([lr_c, jnp.repeat(lr_c[:, -1:], pad, 1)], 1)
+            lr_c = np.concatenate([lr_c, np.repeat(lr_c[:, -1:], pad, 1)], 1)
             active = active.at[c:].set(False)
-        lr_c = jax.device_put(lr_c, lane_sharding)
+        # lane-sharded upload: plain device_put single-process, per-process
+        # shard assembly on a pod (device_put cannot target devices this
+        # process does not own)
+        lr_c = shard(lr_c)
         carry_b, hist = fit_chunk(carry_b, consts_b, data_b, ids, lr_c, active)
         # scalars sliced to the real epochs; sparse centers rows sliced to
         # those whose global epoch lands within the real span. Kept as DEVICE
@@ -515,7 +533,7 @@ def _execute_job_batch(
                           else v[:, : max(c // ce, 0)])
                       for k, v in hist.items()})
         epochs_done += c
-        if bool(np.asarray(carry_b["stopped"]).all()):
+        if _all_lanes_stopped(carry_b["stopped"], mesh):
             break
 
     wall = time.time() - t_start
@@ -531,6 +549,26 @@ def _execute_job_batch(
                 lr_recorded_lanes=lr_recorded_lanes, M=M, M_pad=M + pad_lanes,
                 mesh=mesh, wall=wall,
                 t_setup=t_setup, t_train=t_train, verbose=verbose)
+
+
+_ALL_STOPPED_JIT: Dict[Any, Any] = {}
+
+
+def _all_lanes_stopped(stopped, mesh) -> bool:
+    """Host-readable all(stopped) for a (possibly) lane-sharded flag vector.
+
+    Single-process arrays are fully addressable — one plain pull. On a pod
+    the vector spans non-addressable devices, so the reduction runs as a
+    tiny SPMD program with a REPLICATED output (readable on every process);
+    all processes dispatch it at the same loop point."""
+    if getattr(stopped, "is_fully_addressable", True):
+        return bool(np.asarray(stopped).all())
+    key = mesh
+    fn = _ALL_STOPPED_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(jnp.all, out_shardings=NamedSharding(mesh, P()))
+        _ALL_STOPPED_JIT[key] = fn
+    return bool(np.asarray(fn(stopped)))
 
 
 def _owned_lane_slice(state: Dict[str, Any]) -> slice:

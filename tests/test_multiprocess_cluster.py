@@ -1,0 +1,116 @@
+"""REAL multi-process run of the vmapped engine (2-process CPU cluster).
+
+The other multihost tests exercise layout logic with fakes and single-
+process degradations; this one actually forms a jax.distributed cluster of
+two processes x 4 virtual CPU devices (8 global), runs the full
+run_multiple_experiments vmap engine across it, and checks:
+
+  - every lane's artifact set lands on disk (each process wrote only its
+    addressable lanes; a fetch of non-owned rows hard-errors, so a clean
+    run is itself evidence of correct gating),
+  - the primary process aggregated all lanes, the non-primary none,
+  - per-experiment metrics equal a plain single-process run of the same
+    config (same seeds -> same masks/inits; lane math is device-layout
+    independent).
+
+M=6 lanes over 8 devices also covers the padded tail: process 1 owns lane
+rows 4..8 of the padded axis but only experiments 5 and 6 are real.
+"""
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture
+def toy_csv(tmp_path):
+    rng = np.random.default_rng(5)
+    coords = rng.uniform(size=(30, 2)).round(5)
+    lines = ["x,y,t,z"]
+    for t in range(1, 11):
+        for s in range(30):
+            z = np.sin(3 * coords[s, 0]) - 0.2 * coords[s, 1] \
+                + 0.05 * t + rng.normal(0, 0.05)
+            lines.append(f"{coords[s,0]},{coords[s,1]},{t},{z:.6f}")
+    p = tmp_path / "toy.csv"
+    p.write_text("\n".join(lines))
+    return p
+
+
+def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
+    port = _free_port()
+    out_mp = tmp_path / "mp"
+    worker = REPO / "tests" / "mp_cluster_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port),
+             str(toy_csv), str(out_mp)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            # clean env: the conftest's 8-device XLA_FLAGS must not leak in
+            env={k: v for k, v in __import__("os").environ.items()
+                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                              "JAX_PLATFORM_NAME")},
+            cwd=str(REPO))
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("cluster workers timed out\n" + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"[p{pid}] OK" in out
+
+    # every lane's artifacts exist (written by two different processes)
+    mp_results = {}
+    for i in range(1, 7):
+        f = out_mp / "experiments" / str(i) / "results.json"
+        assert f.exists(), f"missing lane {i} results"
+        with open(f) as fh:
+            mp_results[i] = json.load(fh)
+    with open(out_mp / "summary" / "summary_statistics.json") as fh:
+        summary = json.load(fh)
+    assert summary["n_experiments"] == 6
+
+    # single-process run of the identical config for value parity
+    from st_dadk_tpu.config import ExperimentConfig
+    from st_dadk_tpu.train.runner import run_multiple_experiments
+
+    cfg = ExperimentConfig.from_dict(dict(
+        tag="mpcluster", data_file=str(toy_csv),
+        k_spatial_centers=[9], k_temporal_centers=[4],
+        hidden_dims=[16, 8], dropout=0.0, epochs=6, lr=5e-3,
+        batch_size=64, patience=50, warmup_epochs=1, scheduler="cosine",
+        grad_clip=10.0, regression_type="mean",
+        obs_method="site-wise", obs_ratio=0.5,
+        obs_spatial_pattern="uniform",
+        split_method="random", train_ratio=0.8,
+        n_experiments=6, base_seed=700, use_pallas=False,
+        save_plots=False, save_artifacts=False,
+    ))
+    out_sp = tmp_path / "sp"
+    run_multiple_experiments(cfg, out_sp, engine="vmap")
+    for i in range(1, 7):
+        with open(out_sp / "experiments" / str(i) / "results.json") as fh:
+            sp = json.load(fh)
+        assert np.isclose(mp_results[i]["test_rmse"], sp["test_rmse"],
+                          rtol=1e-4), (i, mp_results[i]["test_rmse"],
+                                       sp["test_rmse"])
+        assert mp_results[i]["experiment_seed"] == sp["experiment_seed"]
