@@ -50,4 +50,38 @@ if pid == 0:
     assert summary is not None and summary["n_experiments"] == 6, summary
 else:
     assert summary is None, "non-primary must not aggregate"
+
+# phase 2: one DP fit over the GLOBAL 8-device mesh (gradient all-reduce
+# crosses the process boundary every step)
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from st_dadk_tpu.dataio.arrays import PointSet  # noqa: E402
+from st_dadk_tpu.models.st_interp import (init_model,  # noqa: E402
+                                          spec_from_config)
+from st_dadk_tpu.train.loop import fit  # noqa: E402
+
+
+def _synth(n, seed):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(size=(n, 2)).astype(np.float32)
+    t = rng.uniform(size=(n, 1)).astype(np.float32)
+    y = (np.sin(3 * coords[:, :1]) + np.cos(2 * coords[:, 1:2]) + 0.5 * t
+         ).astype(np.float32)
+    return PointSet(coords=coords, t=t, y=y, w=np.ones(n, np.float32),
+                    n_real=n)
+
+
+dp_cfg = ExperimentConfig.from_dict(dict(
+    k_spatial_centers=[16], k_temporal_centers=[5], hidden_dims=[32, 16],
+    dropout=0.0, epochs=6, lr=1e-2, batch_size=64, patience=100,
+    warmup_epochs=2, scheduler="cosine", grad_clip=10.0, weight_decay=1e-5,
+    regression_type="mean", use_pallas=False))
+dp_spec = spec_from_config(dp_cfg)
+dp_params, dp_consts = init_model(__import__("jax").random.PRNGKey(42),
+                                  dp_spec)
+mesh = Mesh(np.array(jax.devices()), ("data",))
+res = fit(dp_cfg, dp_spec, dp_params, dp_consts, _synth(512, 0),
+          _synth(128, 1), seed=42, mesh=mesh)
+print(f"[p{pid}] DPVAL={float(res.history['val_rmse'][-1]):.6f}", flush=True)
 print(f"[p{pid}] OK", flush=True)

@@ -74,9 +74,13 @@ def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
         for p in procs:
             p.kill()
         pytest.fail("cluster workers timed out\n" + "\n".join(outs))
+    dp_vals = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"[p{pid}] OK" in out
+        dp_vals.append(float(out.split(f"[p{pid}] DPVAL=")[1].split()[0]))
+    # the cross-process gradient all-reduce gives both processes the same fit
+    assert dp_vals[0] == dp_vals[1]
 
     # every lane's artifacts exist (written by two different processes)
     mp_results = {}
@@ -114,3 +118,35 @@ def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
                           rtol=1e-4), (i, mp_results[i]["test_rmse"],
                                        sp["test_rmse"])
         assert mp_results[i]["experiment_seed"] == sp["experiment_seed"]
+
+    # the workers' cross-process DP fit must match the same fit on this
+    # process's own 8-device mesh (same program; only the process boundary
+    # inside the all-reduce differs)
+    import jax
+    from jax.sharding import Mesh
+    from st_dadk_tpu.dataio.arrays import PointSet
+    from st_dadk_tpu.models.st_interp import init_model, spec_from_config
+    from st_dadk_tpu.train.loop import fit
+
+    def _synth(n, seed):
+        rng = np.random.default_rng(seed)
+        coords = rng.uniform(size=(n, 2)).astype(np.float32)
+        t = rng.uniform(size=(n, 1)).astype(np.float32)
+        y = (np.sin(3 * coords[:, :1]) + np.cos(2 * coords[:, 1:2])
+             + 0.5 * t).astype(np.float32)
+        return PointSet(coords=coords, t=t, y=y,
+                        w=np.ones(n, np.float32), n_real=n)
+
+    dp_cfg = ExperimentConfig.from_dict(dict(
+        k_spatial_centers=[16], k_temporal_centers=[5],
+        hidden_dims=[32, 16], dropout=0.0, epochs=6, lr=1e-2,
+        batch_size=64, patience=100, warmup_epochs=2, scheduler="cosine",
+        grad_clip=10.0, weight_decay=1e-5, regression_type="mean",
+        use_pallas=False))
+    dp_spec = spec_from_config(dp_cfg)
+    dp_params, dp_consts = init_model(jax.random.PRNGKey(42), dp_spec)
+    res = fit(dp_cfg, dp_spec, dp_params, dp_consts, _synth(512, 0),
+              _synth(128, 1), seed=42,
+              mesh=Mesh(np.array(jax.devices()), ("data",)))
+    assert np.isclose(dp_vals[0], float(res.history["val_rmse"][-1]),
+                      rtol=1e-4, atol=1e-5)
