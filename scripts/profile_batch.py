@@ -17,10 +17,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from st_dadk_tpu.utils.platform import apply_platform_env  # noqa: E402
-apply_platform_env()
+# cache env vars FIRST: apply_platform_env imports jax, and jax binds
+# jax_compilation_cache_dir from the environment at import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from st_dadk_tpu.utils.platform import apply_platform_env  # noqa: E402
+apply_platform_env()
 
 import jax
 import jax.numpy as jnp

@@ -63,6 +63,9 @@ def main():
     parser.add_argument("--param_grid", type=str, default=None,
                         help="JSON dict overriding the in-file PARAM_GRID")
     parser.add_argument("--n_experiments", type=int, default=None)
+    parser.add_argument("--dry-run", dest="dry_run", action="store_true",
+                        help="list the generated configs and exit without "
+                             "running any fit")
     args = parser.parse_args()
 
     base_config = ExperimentConfig.from_yaml(args.config).to_dict()
@@ -82,6 +85,15 @@ def main():
         print(f"  {k}: {v}")
     print(f"  output: {output_dir}  engine: {args.engine}")
     print("=" * 80)
+
+    if args.dry_run:
+        from st_dadk_tpu.sweep.grid import generate_config_combinations
+        configs = generate_config_combinations(base_config, param_grid,
+                                               config_filter)
+        for i, c in enumerate(configs, 1):
+            print(f"[{i:3d}] {c['tag']}")
+        print(f"{len(configs)} configs (dry run; nothing executed)")
+        return
 
     results = run_grid_search(base_config, param_grid, output_dir,
                               filter_fn=config_filter, engine=args.engine,

@@ -452,6 +452,12 @@ def _execute_job_batch(
         # heterogeneous lanes: epoch shuffles must stable-partition so every
         # lane sees all of its own data (costs an argsort per epoch)
         spec = dataclasses.replace(spec, uniform_lanes=False)
+    if spec.record_centers and chunk > 100:
+        # round the chunk DOWN to a multiple of 100 so the per-100-epoch
+        # trajectory sampling below stays available for any epoch budget
+        # (e.g. epochs=250 -> chunks 200+50, not one 250 that would force
+        # per-epoch center history)
+        chunk -= chunk % 100
     if spec.record_centers and chunk % 100 == 0:
         # slice the center trajectory to the reference's per-100-epoch
         # sampling ON DEVICE: shrinks each chunk's history transfer by ~100x
@@ -491,7 +497,6 @@ def _execute_job_batch(
         lr_steps = np.concatenate(
             [lr_steps, np.repeat(lr_steps[-1:], pad_lanes, axis=0)])
 
-    lane_sharding = NamedSharding(mesh, P(cfg.mesh_axis))
     # single-process: plain device_put; multi-process: per-host lane shards
     # assembled into global arrays (parallel/multihost.py)
     from st_dadk_tpu.parallel.multihost import shard_lanes_multihost

@@ -649,6 +649,8 @@ def pull_serving_state(carry_b: Dict[str, Any],
     serve = pull_tree(serve_d, lanes)
     if lanes is None:
         scal = np.asarray(scal_d)
+    elif getattr(scal_d, "is_fully_addressable", True):
+        scal = np.asarray(scal_d)[:, lanes]    # single-process fast path
     else:
         scal = fetch_lane_rows(jnp.swapaxes(scal_d, 0, 1), lanes).T
     scalars = {

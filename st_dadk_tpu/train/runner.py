@@ -142,6 +142,9 @@ def run_multiple_experiments(
     experiments_dir = output_dir / "experiments"
     experiments_dir.mkdir(parents=True, exist_ok=True)
 
+    from st_dadk_tpu.parallel.multihost import process_info
+    pc, pid = process_info()
+
     if engine == "vmap":
         from st_dadk_tpu.train.batch_engine import run_experiment_batch
         run_experiment_batch(cfg, list(range(start_id, end_id + 1)),
@@ -150,10 +153,20 @@ def run_multiple_experiments(
     else:
         mesh = None
         if engine == "dp":
+            if pc > 1:
+                # a pod DP run would need every process to drive the same
+                # global-mesh fit in lockstep while writing artifacts once;
+                # the lane-gated vmap engine (optionally over a hybrid
+                # {'exp','data'} mesh) is the supported pod path
+                raise ValueError(
+                    "engine='dp' is single-process; on a multi-process "
+                    "cluster use engine='vmap' (see docs/PARITY.md §2.4)")
             import jax
             from jax.sharding import Mesh
             mesh = Mesh(np.array(jax.devices()), ("data",))
         for i in range(start_id, end_id + 1):
+            if pc > 1 and (i - start_id) % pc != pid:
+                continue   # sequential fits stripe across pod processes
             exp_dir = experiments_dir / str(i)
             exp_dir.mkdir(parents=True, exist_ok=True)
             try:

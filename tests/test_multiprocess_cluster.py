@@ -11,12 +11,19 @@ run_multiple_experiments vmap engine across it, and checks:
   - the primary process aggregated all lanes, the non-primary none,
   - per-experiment metrics equal a plain single-process run of the same
     config (same seeds -> same masks/inits; lane math is device-layout
-    independent).
+    independent),
+  - a data-parallel fit whose per-step all-reduce crosses the process
+    boundary matches the same fit on a single-process 8-device mesh.
 
 M=6 lanes over 8 devices also covers the padded tail: process 1 owns lane
 rows 4..8 of the padded axis but only experiments 5 and 6 are real.
+
+Configs/synthetic data are imported from tests/mp_cluster_worker.py so the
+cluster workers and the in-process parity runs share ONE definition.
 """
+import importlib.util
 import json
+import os
 import socket
 import subprocess
 import sys
@@ -26,6 +33,11 @@ import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
+
+_spec = importlib.util.spec_from_file_location(
+    "mp_cluster_worker", REPO / "tests" / "mp_cluster_worker.py")
+worker_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(worker_mod)
 
 
 def _free_port():
@@ -53,13 +65,14 @@ def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
     port = _free_port()
     out_mp = tmp_path / "mp"
     worker = REPO / "tests" / "mp_cluster_worker.py"
+    M = worker_mod.N_EXPERIMENTS
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), "2", str(port),
              str(toy_csv), str(out_mp)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             # clean env: the conftest's 8-device XLA_FLAGS must not leak in
-            env={k: v for k, v in __import__("os").environ.items()
+            env={k: v for k, v in os.environ.items()
                  if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
                               "JAX_PLATFORM_NAME")},
             cwd=str(REPO))
@@ -84,34 +97,26 @@ def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
 
     # every lane's artifacts exist (written by two different processes)
     mp_results = {}
-    for i in range(1, 7):
+    for i in range(1, M + 1):
         f = out_mp / "experiments" / str(i) / "results.json"
         assert f.exists(), f"missing lane {i} results"
         with open(f) as fh:
             mp_results[i] = json.load(fh)
     with open(out_mp / "summary" / "summary_statistics.json") as fh:
         summary = json.load(fh)
-    assert summary["n_experiments"] == 6
+    assert summary["n_experiments"] == M
 
     # single-process run of the identical config for value parity
     from st_dadk_tpu.config import ExperimentConfig
     from st_dadk_tpu.train.runner import run_multiple_experiments
 
-    cfg = ExperimentConfig.from_dict(dict(
-        tag="mpcluster", data_file=str(toy_csv),
-        k_spatial_centers=[9], k_temporal_centers=[4],
-        hidden_dims=[16, 8], dropout=0.0, epochs=6, lr=5e-3,
-        batch_size=64, patience=50, warmup_epochs=1, scheduler="cosine",
-        grad_clip=10.0, regression_type="mean",
-        obs_method="site-wise", obs_ratio=0.5,
-        obs_spatial_pattern="uniform",
-        split_method="random", train_ratio=0.8,
-        n_experiments=6, base_seed=700, use_pallas=False,
-        save_plots=False, save_artifacts=False,
-    ))
+    cfg = ExperimentConfig.from_dict({
+        **worker_mod.CFG_DICT,
+        "data_file": str(toy_csv), "save_artifacts": False,
+    })
     out_sp = tmp_path / "sp"
     run_multiple_experiments(cfg, out_sp, engine="vmap")
-    for i in range(1, 7):
+    for i in range(1, M + 1):
         with open(out_sp / "experiments" / str(i) / "results.json") as fh:
             sp = json.load(fh)
         assert np.isclose(mp_results[i]["test_rmse"], sp["test_rmse"],
@@ -119,34 +124,21 @@ def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
                                        sp["test_rmse"])
         assert mp_results[i]["experiment_seed"] == sp["experiment_seed"]
 
-    # the workers' cross-process DP fit must match the same fit on this
-    # process's own 8-device mesh (same program; only the process boundary
-    # inside the all-reduce differs)
+    # the workers' cross-process DP fit vs the same fit on this process's
+    # own 8-device mesh (same program; only the process boundary inside
+    # the all-reduce differs)
     import jax
     from jax.sharding import Mesh
-    from st_dadk_tpu.dataio.arrays import PointSet
+
     from st_dadk_tpu.models.st_interp import init_model, spec_from_config
     from st_dadk_tpu.train.loop import fit
 
-    def _synth(n, seed):
-        rng = np.random.default_rng(seed)
-        coords = rng.uniform(size=(n, 2)).astype(np.float32)
-        t = rng.uniform(size=(n, 1)).astype(np.float32)
-        y = (np.sin(3 * coords[:, :1]) + np.cos(2 * coords[:, 1:2])
-             + 0.5 * t).astype(np.float32)
-        return PointSet(coords=coords, t=t, y=y,
-                        w=np.ones(n, np.float32), n_real=n)
-
-    dp_cfg = ExperimentConfig.from_dict(dict(
-        k_spatial_centers=[16], k_temporal_centers=[5],
-        hidden_dims=[32, 16], dropout=0.0, epochs=6, lr=1e-2,
-        batch_size=64, patience=100, warmup_epochs=2, scheduler="cosine",
-        grad_clip=10.0, weight_decay=1e-5, regression_type="mean",
-        use_pallas=False))
+    dp_cfg = ExperimentConfig.from_dict(worker_mod.DP_CFG_DICT)
     dp_spec = spec_from_config(dp_cfg)
     dp_params, dp_consts = init_model(jax.random.PRNGKey(42), dp_spec)
-    res = fit(dp_cfg, dp_spec, dp_params, dp_consts, _synth(512, 0),
-              _synth(128, 1), seed=42,
+    res = fit(dp_cfg, dp_spec, dp_params, dp_consts,
+              worker_mod.synth_pointset(512, 0),
+              worker_mod.synth_pointset(128, 1), seed=42,
               mesh=Mesh(np.array(jax.devices()), ("data",)))
     assert np.isclose(dp_vals[0], float(res.history["val_rmse"][-1]),
                       rtol=1e-4, atol=1e-5)
