@@ -106,6 +106,16 @@ class ExperimentConfig:
                                                # hardware bit generator, ~25% faster scans) or
                                                # 'threefry' (jax default, round-1 streams)
     mesh_axis: str = "exp"                     # mesh axis name for the experiment batch
+    tail_compaction: bool = False              # batch engine: after compaction_epoch, gather
+                                               # still-active lanes into a narrower vmapped
+                                               # program so early-stopped lanes stop costing
+                                               # compute (results unchanged; lanes are
+                                               # independent and stopped carries are frozen).
+                                               # OFF by default: at the bench model size the
+                                               # epoch scan is latency-bound, not lane-width-
+                                               # bound — measured ~0 gain (docs/BENCHMARKS.md);
+                                               # enable for much wider lane batches
+    compaction_epoch: int = 100                # full-width epochs before the first compaction
     save_plots: bool = True
     save_artifacts: bool = True                # predictions.npz / basis_info.npz / checkpoints
     eval_chunk: int = 32768                    # chunk size for dense-grid inference

@@ -512,34 +512,107 @@ def _execute_job_batch(
     # dispatch + stopped-sync turnarounds measured ~7% faster than the
     # round-1 100-epoch grid with bit-identical results. Small-epoch configs
     # still compile small programs (chunk = min(epochs_chunk, E)).
+    #
+    # TAIL COMPACTION: the while_loop freezes early-stopped lanes but still
+    # pays their lane width every epoch — with stop epochs spread over
+    # ~[72, 180], roughly a third of the full-width scan is frozen lanes.
+    # After `compaction_epoch` full-width epochs, still-active lanes are
+    # gathered into a power-of-two-width program (padded with already-
+    # stopped lanes, which stay frozen) and run to completion there; the
+    # compacted carry is scattered back for finalize. Lanes are independent
+    # and frozen carries never change, so results are unchanged (tested).
+    # Single-process only (a pod gather would reshard across hosts).
     ce = spec.centers_every
+    M_pad = M + pad_lanes
+    compact_enabled = (cfg.tail_compaction and jax.process_count() == 1
+                       and 0 < cfg.compaction_epoch < E
+                       and M_pad >= 2 * max(n_dev, 1))
+
+    def chunk_inputs(e0, c, L, lr_host):
+        """ids/lr/active for a dispatch of static length L covering c real
+        epochs from e0 (padding repeats the last epoch, masked inactive)."""
+        ids = np.arange(e0, e0 + c, dtype=np.int32)
+        lr_c = np.ascontiguousarray(lr_host[:, e0:e0 + c])
+        active = np.ones((L,), bool)
+        if c != L:
+            ids = np.concatenate([ids, np.full((L - c,), E - 1, np.int32)])
+            lr_c = np.concatenate(
+                [lr_c, np.repeat(lr_c[:, -1:], L - c, 1)], 1)
+            active[c:] = False
+        return jnp.asarray(ids), lr_c, jnp.asarray(active)
+
     hists = []
     epochs_done = 0
+    lane_idx = None            # None = full width (identity lane mapping)
+    carry_cur, consts_cur, data_cur = carry_b, consts_b, data_b
+    carry_full = carry_b       # latest FULL-width carry (fit_chunk donates
+                               # its carry input, so only outputs stay live)
+    lr_cur = lr_steps
     while epochs_done < E:
-        c = min(chunk, E - epochs_done)
-        ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
-        lr_c = np.ascontiguousarray(lr_steps[:, epochs_done:epochs_done + c])
-        active = jnp.ones((chunk,), bool)
-        if c != chunk:
-            pad = chunk - c
-            ids = jnp.concatenate([ids, jnp.full((pad,), E - 1, jnp.int32)])
-            lr_c = np.concatenate([lr_c, np.repeat(lr_c[:, -1:], pad, 1)], 1)
-            active = active.at[c:].set(False)
+        if compact_enabled and lane_idx is None \
+                and epochs_done >= cfg.compaction_epoch:
+            stopped = np.asarray(carry_cur["stopped"])
+            act = np.flatnonzero(~stopped)
+            # width = next multiple of max(n_dev, M_pad/4): at most 3
+            # distinct tail-program widths per batch shape (compile-once
+            # each, persistent-cached) while still narrowing when e.g.
+            # 10 of 16 lanes remain active
+            q = max(n_dev, M_pad // 4, 1)
+            W = -(-max(len(act), 1) // q) * q
+            if len(act) > 0 and W < M_pad:
+                # pad the active set with (distinct) stopped lanes: frozen,
+                # so they cost compute but cannot change any result
+                idx_np = np.concatenate(
+                    [act, np.flatnonzero(stopped)[: W - len(act)]])
+                idx_dev = jnp.asarray(idx_np, jnp.int32)
+                carry_cur = _lane_gather(carry_full, idx_dev)
+                consts_cur = _lane_gather(consts_b, idx_dev)
+                data_cur = _lane_gather(data_b, idx_dev)
+                lr_cur = lr_steps[idx_np]
+                lane_idx = idx_np
+                if verbose:
+                    print(f"[batch] tail compaction {M_pad}->{W} lanes "
+                          f"at epoch {epochs_done} ({len(act)} active)")
+            # not narrowable yet: stay full-width at the compaction-interval
+            # chunk length and re-attempt after the next chunk
+        if compact_enabled and lane_idx is None:
+            # full-width chunks end at compaction-interval boundaries so
+            # their program length is stable across batches and compaction
+            # can re-attempt as more lanes stop
+            L = min(chunk, cfg.compaction_epoch)
+            c = min(L, E - epochs_done)
+        else:
+            L = chunk
+            c = min(chunk, E - epochs_done)
+        ids, lr_c, active = chunk_inputs(epochs_done, c, L, lr_cur)
         # lane-sharded upload: plain device_put single-process, per-process
         # shard assembly on a pod (device_put cannot target devices this
         # process does not own)
-        lr_c = shard(lr_c)
-        carry_b, hist = fit_chunk(carry_b, consts_b, data_b, ids, lr_c, active)
+        lr_c = shard(lr_c) if lane_idx is None else jax.device_put(
+            jnp.asarray(lr_c), NamedSharding(mesh, P(cfg.mesh_axis)))
+        carry_cur, hist = fit_chunk(carry_cur, consts_cur, data_cur, ids,
+                                    lr_c, active)
+        if lane_idx is None:
+            carry_full = carry_cur
         # scalars sliced to the real epochs; sparse centers rows sliced to
         # those whose global epoch lands within the real span. Kept as DEVICE
         # arrays here; _finalize_job_batch pulls them (possibly overlapped
         # with the next batch's training).
-        hists.append({k: (v[:, :c] if not (k == "centers" and ce > 1)
-                          else v[:, : max(c // ce, 0)])
-                      for k, v in hist.items()})
+        h = {k: (v[:, :c] if not (k == "centers" and ce > 1)
+                 else v[:, : max(c // ce, 0)])
+             for k, v in hist.items()}
+        h["_lane_idx"] = lane_idx
+        hists.append(h)
         epochs_done += c
-        if _all_lanes_stopped(carry_b["stopped"], mesh):
+        if _all_lanes_stopped(carry_cur["stopped"], mesh):
             break
+
+    if lane_idx is not None:
+        # frozen full-width carry + compacted tail rows -> serving carry
+        carry_b = _lane_scatter(carry_full, carry_cur,
+                                jnp.asarray(lane_idx, jnp.int32))
+    else:
+        carry_b = carry_full
 
     wall = time.time() - t_start
     t_train = prep["t_prep"] + (time.time() - t_phase)
@@ -554,6 +627,18 @@ def _execute_job_batch(
                 lr_recorded_lanes=lr_recorded_lanes, M=M, M_pad=M + pad_lanes,
                 mesh=mesh, wall=wall,
                 t_setup=t_setup, t_train=t_train, verbose=verbose)
+
+
+@jax.jit
+def _lane_gather(tree, idx):
+    """Rows `idx` of every lane-major leaf (tail-compaction gather)."""
+    return jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), tree)
+
+
+@jax.jit
+def _lane_scatter(full, part, idx):
+    """Write compacted rows back into the full-width tree (idx distinct)."""
+    return jax.tree_util.tree_map(lambda f, p: f.at[idx].set(p), full, part)
 
 
 _ALL_STOPPED_JIT: Dict[Any, Any] = {}
@@ -616,9 +701,24 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     setups = state["setups"][sl]
     lr_recorded = state["lr_recorded_lanes"][sl]
 
-    history_b = {k: np.concatenate([fetch_lane_rows(h[k], sl)
+    def _hist_block(h, k):
+        """Owned-lane rows of one chunk's history; tail-compacted chunks
+        (width W with a _lane_idx mapping) scatter into zeros — rows of
+        lanes that stopped before the chunk are never read (assemble_result
+        slices each lane's history to its own stop epoch)."""
+        idx = h.get("_lane_idx")
+        if idx is None:
+            return fetch_lane_rows(h[k], sl)
+        data = np.asarray(h[k])
+        buf = np.zeros((sl.stop - sl.start,) + data.shape[1:], data.dtype)
+        m = (idx >= sl.start) & (idx < sl.stop)
+        buf[idx[m] - sl.start] = data[m]
+        return buf
+
+    hist_keys = [k for k in state["hists"][0] if k != "_lane_idx"]
+    history_b = {k: np.concatenate([_hist_block(h, k)
                                     for h in state["hists"]], axis=1)
-                 for k in state["hists"][0]}
+                 for k in hist_keys}
     serve_host, scal_host = pull_serving_state(carry_b, lanes=sl)
     consts_host = jax.tree_util.tree_map(lambda x: x[sl],
                                          state["consts_host"])

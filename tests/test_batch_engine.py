@@ -149,3 +149,46 @@ class TestMultiQuantileBatch:
         for r in results:
             assert "test_crps" in r and np.isfinite(r["test_crps"])
             assert r["quantile_levels"] == [0.05, 0.25, 0.5, 0.75, 0.95]
+
+
+class TestTailCompaction:
+    """Tail compaction (gather still-active lanes into a narrower program
+    after compaction_epoch) must not change ANY result: lanes are
+    independent and stopped carries are frozen."""
+
+    def test_compacted_equals_full_width(self, toy_csv, tmp_path, capsys):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from st_dadk_tpu.train.batch_engine import run_job_batch
+
+        # 1-device mesh so M_pad=6 lanes can narrow; small patience so some
+        # lanes stop before the compaction point and others after
+        mesh = Mesh(np.array(jax.devices()[:1]), ("exp",))
+
+        def run(compact, out):
+            # with these seeds the 8 lanes stop at epochs
+            # [60, 46, 55, 60, 38, 60, 60, 55]; compacting at 56 leaves 4
+            # active -> a width-4 tail program
+            cfg = _cfg(toy_csv, epochs=60, patience=1, n_experiments=8,
+                       tail_compaction=compact, compaction_epoch=56,
+                       save_artifacts=False)
+            jobs = [(cfg, i, tmp_path / out / str(i)) for i in range(1, 9)]
+            return run_job_batch(jobs, epochs_chunk=60, mesh=mesh,
+                                 verbose=True)
+
+        r_full = run(False, "full")
+        r_comp = run(True, "comp")
+        assert "tail compaction" in capsys.readouterr().out
+
+        for a, b in zip(r_full, r_comp):
+            assert a["experiment_seed"] == b["experiment_seed"]
+            np.testing.assert_allclose(a["test_rmse"], b["test_rmse"],
+                                       rtol=1e-6)
+            np.testing.assert_allclose(a["valid_rmse"], b["valid_rmse"],
+                                       rtol=1e-6)
+            ha = a["training_history"]["train_loss"]
+            hb = b["training_history"]["train_loss"]
+            assert len(ha) == len(hb)
+            np.testing.assert_allclose(ha, hb, rtol=1e-5)
