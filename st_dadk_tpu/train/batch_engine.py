@@ -79,7 +79,7 @@ def _batched_eval(cfg, spec_model, params_sel, consts_host, setups, M):
                                 ("test_metrics", s.test_mask)):
                 m = mask & np.isfinite(s.z_full)
                 lane[split] = metrics_from_preds(
-                    cfg, field[m], s.z_full[m][:, None])
+                    getattr(s, "cfg", cfg), field[m], s.z_full[m][:, None])
             out[li] = lane
     return out
 
@@ -133,7 +133,7 @@ def _device_metrics_program(spec_model, qlevels, regression, n_chunks, n,
 
         return jnp.stack([split(1), split(2), split(3)])   # (3, K)
 
-    fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None, 0, None)))
+    fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None, 0, 0)))
     _DEV_EVAL_CACHE[key] = fn
     return fn
 
@@ -177,11 +177,13 @@ def _batched_eval_device(cfg, spec_model, serve_d, setups, M):
         fn = _device_metrics_program(
             spec_model, list(cfg.quantile_levels), cfg.regression_type,
             n_chunks, n, chunk)
-        tau = float(cfg.current_quantile or 0.5)
+        tau_b = np.asarray(
+            [float(getattr(setups[li], "cfg", cfg).current_quantile or 0.5)
+             for li in lanes], np.float32)
         vals = np.asarray(fn(take(serve_params), take(consts_d),
                              jnp.asarray(coords_p), jnp.asarray(t_p),
                              jnp.asarray(z), jnp.asarray(labels_b),
-                             jnp.asarray(tau, jnp.float32)))
+                             jnp.asarray(tau_b)))
 
         for gi, li in enumerate(lanes):
             lane = {}
@@ -218,8 +220,36 @@ def run_experiment_batch(
     epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
 ) -> List[Dict[str, Any]]:
-    """Run all `exp_ids` of one config as a single vmapped program."""
+    """Run all `exp_ids` of one config as a single vmapped program.
+
+    The separate-models-per-tau quantile mode (regression_type='quantile'
+    with multiple levels — ref train_st_interp.py:1973-2151) expands into
+    exp_ids x quantile_levels LANES of one batch: tau is a runtime lane
+    value (consts['tau']), so all taus share one compiled program. Per-tau
+    artifacts land in <i>/quantile_<q>/ exactly like the sequential path,
+    and the per-experiment CRPS aggregation reuses run_single_experiment's
+    reload path (per-tau predictions.npz are materialized for it)."""
     experiments_dir = Path(experiments_dir)
+    if cfg.regression_type == "quantile" and len(cfg.quantile_levels) > 1:
+        from st_dadk_tpu.train.experiment import run_single_experiment
+        jobs = []
+        for i in exp_ids:
+            for q in cfg.quantile_levels:
+                qcfg = cfg.replace(current_quantile=float(q),
+                                   save_artifacts=True)
+                jobs.append((qcfg, i,
+                             experiments_dir / str(i) / f"quantile_{q}"))
+        run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose,
+                      epochs_chunk=epochs_chunk, mesh=mesh)
+        # pod: the per-tau lanes are spread over processes; aggregate once
+        # on the primary after every host's artifacts are visible
+        from st_dadk_tpu.parallel.multihost import is_primary, sync_processes
+        sync_processes("st_dadk_per_tau_aggregate")
+        if not is_primary():
+            return []
+        return [run_single_experiment(cfg, i, experiments_dir / str(i),
+                                      verbose=verbose, skip_existing=True)
+                for i in exp_ids]
     jobs = [(cfg, i, experiments_dir / str(i)) for i in exp_ids]
     return run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose,
                          epochs_chunk=epochs_chunk, mesh=mesh)
@@ -231,6 +261,8 @@ _STACKABLE_KEYS = frozenset({
     "normalize_target", "tag", "config_id", "base_seed", "n_experiments",
     "extra", "data_root", "save_plots", "save_artifacts", "n_jobs",
     "num_workers", "device",
+    # runtime lane value when lanes mix (consts['tau']); static otherwise
+    "current_quantile",
 })
 
 
@@ -438,6 +470,18 @@ def _execute_job_batch(
     # pull (per-lane device slicing would compile one tiny program per index)
     n_params = int(sum(np.prod(l.shape[1:]) for l in
                        jax.tree_util.tree_leaves(carry_b["params"])))
+    mixed_tau = False
+    if cfg.regression_type == "quantile":
+        taus = np.asarray(
+            [float(s.cfg.current_quantile)
+             if getattr(s.cfg, "current_quantile", None) is not None else 0.5
+             for s in setups], np.float32)
+        mixed_tau = len(set(taus.tolist())) > 1
+        if mixed_tau:
+            # per-tau lanes of a stacked quantile batch: tau becomes LANE
+            # DATA (consts['tau']) so every tau shares one compiled program
+            consts_b = dict(consts_b, tau=jnp.asarray(taus))
+
     consts_host = jax.tree_util.tree_map(np.asarray, consts_b)
     for i, s in enumerate(setups):
         s.consts = jax.tree_util.tree_map(lambda x, i=i: x[i], consts_host)
@@ -448,6 +492,8 @@ def _execute_job_batch(
     chunk = min(epochs_chunk, E)
     spec = LoopSpec.from_config(cfg, spec_model, batch_size, B_shared,
                                 val_chunk, n_val_chunks)
+    if mixed_tau:
+        spec = dataclasses.replace(spec, current_quantile=None)
     if any(int(d.n_batches) != B_shared for d in datas):
         # heterogeneous lanes: epoch shuffles must stable-partition so every
         # lane sees all of its own data (costs an argsort per epoch)

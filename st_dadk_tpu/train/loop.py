@@ -177,7 +177,14 @@ def training_loss(spec: LoopSpec, params: Params, consts: Dict[str, Any],
     if spec.regression_type == "mean":
         loss = mse_loss(preds, y, w)
     elif spec.regression_type == "quantile":
-        loss = quantile_loss(preds, y, float(spec.current_quantile), w)
+        if spec.current_quantile is not None:
+            tau = float(spec.current_quantile)
+        else:
+            # per-lane runtime quantile: stacked per-tau lanes share ONE
+            # compiled program with tau as lane data (batch engine sets
+            # consts['tau'] and clears spec.current_quantile)
+            tau = consts["tau"]
+        loss = quantile_loss(preds, y, tau, w)
     elif spec.regression_type == "multi-quantile":
         q = jnp.asarray(spec.quantile_levels, jnp.float32)
         loss = multi_quantile_loss(preds, y, q, w)

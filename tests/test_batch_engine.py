@@ -192,3 +192,52 @@ class TestTailCompaction:
             hb = b["training_history"]["train_loss"]
             assert len(ha) == len(hb)
             np.testing.assert_allclose(ha, hb, rtol=1e-5)
+
+
+class TestPerTauVmapEngine:
+    """Separate-models-per-tau quantile mode on the vmap engine: per-tau
+    fits become lanes (tau is runtime lane data), artifacts and the
+    aggregated CRPS must match the sequential path."""
+
+    def test_matches_sequential_per_tau(self, toy_csv, tmp_path):
+        import numpy as np
+
+        cfg = _cfg(toy_csv, regression_type="quantile",
+                   quantile_levels=[0.25, 0.5, 0.75], n_experiments=1,
+                   epochs=10, save_plots=False)
+        r_seq = run_single_experiment(cfg, 1, tmp_path / "seq",
+                                      verbose=False)
+        r_bat = run_experiment_batch(cfg, [1], tmp_path / "bat",
+                                     epochs_chunk=10)[0]
+        assert r_bat["regression_type"] == "quantile"
+        assert r_bat["quantile_levels"] == [0.25, 0.5, 0.75]
+        for d in (tmp_path / "bat" / "1", ):
+            assert (d / "results.json").exists()
+            for q in (0.25, 0.5, 0.75):
+                assert (d / f"quantile_{q}" / "results.json").exists()
+                assert (d / f"quantile_{q}" / "predictions.npz").exists()
+        # same seeds -> same masks/inits; lane arithmetic matches the
+        # standalone fits closely
+        np.testing.assert_allclose(r_bat["test_crps"], r_seq["test_crps"],
+                                   rtol=0.05)
+        np.testing.assert_allclose(r_bat["test_check_loss"],
+                                   r_seq["test_check_loss"], rtol=0.05)
+
+    def test_mixed_tau_lanes_differ(self, toy_csv, tmp_path):
+        """Different tau lanes of one stacked batch must actually train
+        DIFFERENT objectives (tau reaches the loss as lane data)."""
+        import json
+
+        cfg = _cfg(toy_csv, regression_type="quantile",
+                   quantile_levels=[0.1, 0.9], n_experiments=1,
+                   epochs=10, save_plots=False)
+        run_experiment_batch(cfg, [1], tmp_path / "m", epochs_chunk=10)
+        with open(tmp_path / "m" / "1" / "quantile_0.1" /
+                  "results.json") as f:
+            lo = json.load(f)
+        with open(tmp_path / "m" / "1" / "quantile_0.9" /
+                  "results.json") as f:
+            hi = json.load(f)
+        # tau=0.1 predictions sit well below tau=0.9 -> different metrics
+        assert lo["test_check_loss"] != hi["test_check_loss"]
+        assert abs(lo["test_mae"] - hi["test_mae"]) > 1e-4
