@@ -226,12 +226,25 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
         buckets.setdefault((stacking_key(c), shape), []).append(i)
 
     failed: Dict[int, str] = {}
+    per_tau: Dict[int, List[int]] = {}   # config idx -> exp ids to aggregate
     for b_idx, (key, members) in enumerate(buckets.items(), 1):
         jobs = []
         for i in members:
             exp_dir = output_dir / configs[i]["tag"] / "experiments"
-            for e in range(1, cfg_objs[i].n_experiments + 1):
-                jobs.append((cfg_objs[i], e, exp_dir / str(e)))
+            c = cfg_objs[i]
+            for e in range(1, c.n_experiments + 1):
+                if c.regression_type == "quantile" \
+                        and len(c.quantile_levels) > 1:
+                    # separate-models-per-tau: one lane per tau (runtime
+                    # consts['tau']); aggregation below, as in
+                    # batch_engine.run_experiment_batch
+                    for q in c.quantile_levels:
+                        jobs.append((c.replace(current_quantile=float(q),
+                                               save_artifacts=True),
+                                     e, exp_dir / str(e) / f"quantile_{q}"))
+                    per_tau.setdefault(i, []).append(e)
+                else:
+                    jobs.append((c, e, exp_dir / str(e)))
         print(f"[bucket {b_idx}/{len(buckets)}] {len(members)} configs x "
               f"{cfg_objs[members[0]].n_experiments} repeats = "
               f"{len(jobs)} lanes")
@@ -249,6 +262,19 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
     sync_processes("st_dadk_grid_aggregate")
     if not is_primary():
         return []
+
+    from st_dadk_tpu.train.experiment import run_single_experiment
+    for i, exp_ids in per_tau.items():
+        if i in failed:
+            continue
+        exp_dir = output_dir / configs[i]["tag"] / "experiments"
+        for e in sorted(set(exp_ids)):
+            try:
+                run_single_experiment(cfg_objs[i], e, exp_dir / str(e),
+                                      verbose=False, skip_existing=True)
+            except Exception as err:
+                failed[i] = str(err)
+                break
 
     all_results = []
     for i, config in enumerate(configs):

@@ -229,3 +229,37 @@ class TestConfigStacking:
         rs = run_grid_search(base, grid, tmp_path / "g", engine="vmap")
         assert all(r["status"] == "success" for r in rs)
         assert rs[0]["summary"]["n_experiments"] == 1
+
+
+class TestGridPerTauStacking:
+    def test_grid_vmap_handles_per_tau_quantile(self, toy_csv, tmp_path):
+        """A grid config in the separate-models-per-tau quantile mode runs
+        on the stacked vmap engine: per-tau lanes + aggregated results."""
+        import json
+
+        from st_dadk_tpu.sweep.grid import run_grid_search
+
+        base = dict(
+            data_file=str(toy_csv), k_spatial_centers=[9],
+            k_temporal_centers=[4], hidden_dims=[16, 8], dropout=0.0,
+            epochs=8, lr=5e-3, batch_size=64, patience=50, warmup_epochs=1,
+            scheduler="cosine", regression_type="quantile",
+            quantile_levels=[0.25, 0.75], obs_method="site-wise",
+            split_method="random", base_seed=7, n_experiments=2,
+            use_pallas=False, save_plots=False)
+        out = tmp_path / "gq"
+        res = run_grid_search(base, {"obs_ratio": [0.5]}, out,
+                              engine="vmap")
+        assert len(res) == 1 and res[0]["status"] == "success"
+        cfg_dir = out / res[0]["config"]["tag"]
+        for e in (1, 2):
+            with open(cfg_dir / "experiments" / str(e) /
+                      "results.json") as f:
+                r = json.load(f)
+            assert r["regression_type"] == "quantile"
+            assert "test_crps" in r
+            for q in (0.25, 0.75):
+                assert (cfg_dir / "experiments" / str(e) /
+                        f"quantile_{q}" / "results.json").exists()
+        s = res[0]["summary"]
+        assert s["n_experiments"] == 2
