@@ -225,26 +225,24 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
             shape = ("unknown", configs[i]["tag"])
         buckets.setdefault((stacking_key(c), shape), []).append(i)
 
+    from st_dadk_tpu.train.batch_engine import (aggregate_per_tau,
+                                                expand_per_tau_jobs,
+                                                is_per_tau)
+
     failed: Dict[int, str] = {}
-    per_tau: Dict[int, List[int]] = {}   # config idx -> exp ids to aggregate
+    per_tau: List[int] = []              # config idxs to aggregate after
     for b_idx, (key, members) in enumerate(buckets.items(), 1):
         jobs = []
         for i in members:
             exp_dir = output_dir / configs[i]["tag"] / "experiments"
             c = cfg_objs[i]
-            for e in range(1, c.n_experiments + 1):
-                if c.regression_type == "quantile" \
-                        and len(c.quantile_levels) > 1:
-                    # separate-models-per-tau: one lane per tau (runtime
-                    # consts['tau']); aggregation below, as in
-                    # batch_engine.run_experiment_batch
-                    for q in c.quantile_levels:
-                        jobs.append((c.replace(current_quantile=float(q),
-                                               save_artifacts=True),
-                                     e, exp_dir / str(e) / f"quantile_{q}"))
-                    per_tau.setdefault(i, []).append(e)
-                else:
-                    jobs.append((c, e, exp_dir / str(e)))
+            ids = list(range(1, c.n_experiments + 1))
+            if is_per_tau(c):
+                # separate-models-per-tau: one lane per (experiment, tau)
+                jobs.extend(expand_per_tau_jobs(c, ids, exp_dir))
+                per_tau.append(i)
+            else:
+                jobs.extend((c, e, exp_dir / str(e)) for e in ids)
         print(f"[bucket {b_idx}/{len(buckets)}] {len(members)} configs x "
               f"{cfg_objs[members[0]].n_experiments} repeats = "
               f"{len(jobs)} lanes")
@@ -263,18 +261,16 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
     if not is_primary():
         return []
 
-    from st_dadk_tpu.train.experiment import run_single_experiment
-    for i, exp_ids in per_tau.items():
+    for i in per_tau:
         if i in failed:
             continue
         exp_dir = output_dir / configs[i]["tag"] / "experiments"
-        for e in sorted(set(exp_ids)):
-            try:
-                run_single_experiment(cfg_objs[i], e, exp_dir / str(e),
-                                      verbose=False, skip_existing=True)
-            except Exception as err:
-                failed[i] = str(err)
-                break
+        try:
+            aggregate_per_tau(cfg_objs[i],
+                              list(range(1, cfg_objs[i].n_experiments + 1)),
+                              exp_dir, skip_existing=skip_existing, sync=False)
+        except Exception as err:
+            failed[i] = str(err)
 
     all_results = []
     for i, config in enumerate(configs):

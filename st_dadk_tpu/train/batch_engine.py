@@ -230,29 +230,65 @@ def run_experiment_batch(
     and the per-experiment CRPS aggregation reuses run_single_experiment's
     reload path (per-tau predictions.npz are materialized for it)."""
     experiments_dir = Path(experiments_dir)
-    if cfg.regression_type == "quantile" and len(cfg.quantile_levels) > 1:
-        from st_dadk_tpu.train.experiment import run_single_experiment
-        jobs = []
-        for i in exp_ids:
-            for q in cfg.quantile_levels:
-                qcfg = cfg.replace(current_quantile=float(q),
-                                   save_artifacts=True)
-                jobs.append((qcfg, i,
-                             experiments_dir / str(i) / f"quantile_{q}"))
+    if is_per_tau(cfg):
+        jobs = expand_per_tau_jobs(cfg, exp_ids, experiments_dir)
         run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose,
                       epochs_chunk=epochs_chunk, mesh=mesh)
-        # pod: the per-tau lanes are spread over processes; aggregate once
-        # on the primary after every host's artifacts are visible
-        from st_dadk_tpu.parallel.multihost import is_primary, sync_processes
-        sync_processes("st_dadk_per_tau_aggregate")
-        if not is_primary():
-            return []
-        return [run_single_experiment(cfg, i, experiments_dir / str(i),
-                                      verbose=verbose, skip_existing=True)
-                for i in exp_ids]
+        return aggregate_per_tau(cfg, exp_ids, experiments_dir,
+                                 skip_existing=skip_existing,
+                                 verbose=verbose)
     jobs = [(cfg, i, experiments_dir / str(i)) for i in exp_ids]
     return run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose,
                          epochs_chunk=epochs_chunk, mesh=mesh)
+
+
+def is_per_tau(cfg: ExperimentConfig) -> bool:
+    """Separate-models-per-tau quantile mode (ref :1973-2151)."""
+    return (cfg.regression_type == "quantile"
+            and len(cfg.quantile_levels) > 1)
+
+
+def expand_per_tau_jobs(cfg: ExperimentConfig, exp_ids: List[int],
+                        experiments_dir: Path) -> List:
+    """One lane per (experiment, tau); artifacts land in <i>/quantile_<q>/
+    like the sequential path (predictions.npz are materialized because the
+    aggregation reloads them)."""
+    jobs = []
+    for i in exp_ids:
+        for q in cfg.quantile_levels:
+            qcfg = cfg.replace(current_quantile=float(q),
+                               save_artifacts=True)
+            jobs.append((qcfg, i,
+                         Path(experiments_dir) / str(i) / f"quantile_{q}"))
+    return jobs
+
+
+def aggregate_per_tau(cfg: ExperimentConfig, exp_ids: List[int],
+                      experiments_dir: Path, skip_existing: bool,
+                      verbose: bool = False,
+                      sync: bool = True) -> List[Dict[str, Any]]:
+    """Per-experiment CRPS aggregation across the per-tau lane artifacts,
+    via run_single_experiment's reload path. Primary-process-only on pods
+    (lanes were written by their owning processes). A fresh run
+    (skip_existing=False) drops each experiment's stale top-level
+    results.json first so the reload path cannot short-circuit on it.
+    `sync=False` when the caller already barriered + primary-gated (a
+    barrier entered by only one process would deadlock a pod)."""
+    from st_dadk_tpu.parallel.multihost import is_primary, sync_processes
+    from st_dadk_tpu.train.experiment import run_single_experiment
+
+    if sync:
+        sync_processes("st_dadk_per_tau_aggregate")
+        if not is_primary():
+            return []
+    out = []
+    for i in exp_ids:
+        exp_dir = Path(experiments_dir) / str(i)
+        if not skip_existing:
+            (exp_dir / "results.json").unlink(missing_ok=True)
+        out.append(run_single_experiment(cfg, i, exp_dir, verbose=verbose,
+                                         skip_existing=True))
+    return out
 
 
 _STACKABLE_KEYS = frozenset({
@@ -387,6 +423,12 @@ def _prepare_job_batch(
     setups = []
     with GLOBAL_NP_RNG_LOCK:      # mask sampling seeds the global numpy RNG
         for cfg_i, exp_id, out_dir in todo:
+            if cfg_i.regression_type == "quantile" \
+                    and cfg_i.current_quantile is None:
+                # sequential-path normalization (experiment.py): an unset
+                # tau means the first quantile level, NOT 0.5
+                cfg_i = cfg_i.replace(
+                    current_quantile=float(cfg_i.quantile_levels[0]))
             s = ExperimentSetup(cfg_i, exp_id, verbose=False,
                                 defer_model=True)
             s.cfg = cfg_i
@@ -471,11 +513,12 @@ def _execute_job_batch(
     n_params = int(sum(np.prod(l.shape[1:]) for l in
                        jax.tree_util.tree_leaves(carry_b["params"])))
     mixed_tau = False
+    tau0 = None
     if cfg.regression_type == "quantile":
-        taus = np.asarray(
-            [float(s.cfg.current_quantile)
-             if getattr(s.cfg, "current_quantile", None) is not None else 0.5
-             for s in setups], np.float32)
+        # lane cfgs are tau-normalized in _prepare_job_batch
+        taus = np.asarray([float(s.cfg.current_quantile) for s in setups],
+                          np.float32)
+        tau0 = float(taus[0])
         mixed_tau = len(set(taus.tolist())) > 1
         if mixed_tau:
             # per-tau lanes of a stacked quantile batch: tau becomes LANE
@@ -494,6 +537,10 @@ def _execute_job_batch(
                                 val_chunk, n_val_chunks)
     if mixed_tau:
         spec = dataclasses.replace(spec, current_quantile=None)
+    elif tau0 is not None:
+        # uniform-tau batch: static tau from the (normalized) lane cfgs —
+        # the job-level cfg may still carry current_quantile=None
+        spec = dataclasses.replace(spec, current_quantile=tau0)
     if any(int(d.n_batches) != B_shared for d in datas):
         # heterogeneous lanes: epoch shuffles must stable-partition so every
         # lane sees all of its own data (costs an argsort per epoch)
@@ -570,8 +617,14 @@ def _execute_job_batch(
     # Single-process only (a pod gather would reshard across hosts).
     ce = spec.centers_every
     M_pad = M + pad_lanes
+    # full-width chunk length while awaiting compaction: the epoch program
+    # requires chunk % centers_every == 0 when trajectories are recorded
+    L_precompact = min(chunk, max(cfg.compaction_epoch, 1))
+    if ce > 1:
+        L_precompact -= L_precompact % ce
     compact_enabled = (cfg.tail_compaction and jax.process_count() == 1
                        and 0 < cfg.compaction_epoch < E
+                       and L_precompact > 0
                        and M_pad >= 2 * max(n_dev, 1))
 
     def chunk_inputs(e0, c, L, lr_host):
@@ -599,11 +652,13 @@ def _execute_job_batch(
                 and epochs_done >= cfg.compaction_epoch:
             stopped = np.asarray(carry_cur["stopped"])
             act = np.flatnonzero(~stopped)
-            # width = next multiple of max(n_dev, M_pad/4): at most 3
-            # distinct tail-program widths per batch shape (compile-once
-            # each, persistent-cached) while still narrowing when e.g.
-            # 10 of 16 lanes remain active
-            q = max(n_dev, M_pad // 4, 1)
+            # width = next multiple of q, where q is itself a multiple of
+            # n_dev (even lane shards) of size ~M_pad/4: at most 3 distinct
+            # tail-program widths per batch shape (compile-once each,
+            # persistent-cached) while still narrowing when e.g. 10 of 16
+            # lanes remain active
+            q = -(-max(M_pad // 4, 1) // max(n_dev, 1)) * max(n_dev, 1)
+            q = max(q, 4) if n_dev <= 4 else q
             W = -(-max(len(act), 1) // q) * q
             if len(act) > 0 and W < M_pad:
                 # pad the active set with (distinct) stopped lanes: frozen,
@@ -625,7 +680,7 @@ def _execute_job_batch(
             # full-width chunks end at compaction-interval boundaries so
             # their program length is stable across batches and compaction
             # can re-attempt as more lanes stop
-            L = min(chunk, cfg.compaction_epoch)
+            L = L_precompact
             c = min(L, E - epochs_done)
         else:
             L = chunk

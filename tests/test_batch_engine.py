@@ -241,3 +241,19 @@ class TestPerTauVmapEngine:
         # tau=0.1 predictions sit well below tau=0.9 -> different metrics
         assert lo["test_check_loss"] != hi["test_check_loss"]
         assert abs(lo["test_mae"] - hi["test_mae"]) > 1e-4
+
+    def test_single_level_quantile_default_tau(self, toy_csv, tmp_path):
+        """Regression: quantile with ONE level and current_quantile unset
+        must train at quantile_levels[0] (sequential-path normalization),
+        not crash or silently use 0.5."""
+        import json
+
+        cfg = _cfg(toy_csv, regression_type="quantile",
+                   quantile_levels=[0.9], n_experiments=2, epochs=8,
+                   save_plots=False)
+        res = run_experiment_batch(cfg, [1, 2], tmp_path / "q1",
+                                   epochs_chunk=8)
+        assert len(res) == 2
+        with open(tmp_path / "q1" / "1" / "results.json") as f:
+            r = json.load(f)
+        assert r["quantile_level"] == 0.9
