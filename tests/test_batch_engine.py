@@ -193,6 +193,32 @@ class TestTailCompaction:
             assert len(ha) == len(hb)
             np.testing.assert_allclose(ha, hb, rtol=1e-5)
 
+    def test_compaction_with_center_trajectories(self, toy_csv, tmp_path):
+        """compaction_epoch that is not a multiple of 100 must still work
+        when center trajectories are recorded (chunk lengths round to
+        centers_every); results equal the uncompacted run."""
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from st_dadk_tpu.train.batch_engine import run_job_batch
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("exp",))
+
+        def run(compact, out):
+            cfg = _cfg(toy_csv, epochs=200, patience=1, n_experiments=4,
+                       spatial_learnable=True, spatial_init_method="uniform",
+                       tail_compaction=compact, compaction_epoch=120,
+                       save_artifacts=False)
+            jobs = [(cfg, i, tmp_path / out / str(i)) for i in range(1, 5)]
+            return run_job_batch(jobs, epochs_chunk=200, mesh=mesh)
+
+        r_full = run(False, "cf")
+        r_comp = run(True, "cc")
+        for a, b in zip(r_full, r_comp):
+            np.testing.assert_allclose(a["test_rmse"], b["test_rmse"],
+                                       rtol=1e-6)
+
 
 class TestPerTauVmapEngine:
     """Separate-models-per-tau quantile mode on the vmap engine: per-tau
