@@ -58,14 +58,20 @@ class TestForward:
         coords = jnp.asarray(np.random.default_rng(1).uniform(size=(4, 2)),
                              dtype=jnp.float32)
         t = jnp.full((4, 1), 0.3)
-        out = np.asarray(forward(spec, params, consts, None, coords, t))
+        # pin f32 matmuls: the comparison target is float64 numpy, and the
+        # TPU backend's default bf16 matmul precision would dominate the
+        # 1e-5 tolerance (this test asserts cumsum/closed-form EQUIVALENCE,
+        # not the backend's matmul precision)
+        with jax.default_matmul_precision("highest"):
+            out = np.asarray(forward(spec, params, consts, None, coords, t))
 
-        # independent recomputation: trunk output via forward of a spec with
-        # the same params but direct head replaced by identity is not exposed;
-        # recompute trunk manually
-        from st_dadk_tpu.models.st_interp import _embed, trunk
-        phi, psi = _embed(spec, params, consts, coords, t)
-        h = np.asarray(trunk(spec, params, jnp.concatenate([phi, psi], -1)))
+            # independent recomputation: trunk output via forward of a spec
+            # with the same params but direct head replaced by identity is
+            # not exposed; recompute trunk manually
+            from st_dadk_tpu.models.st_interp import _embed, trunk
+            phi, psi = _embed(spec, params, consts, coords, t)
+            h = np.asarray(trunk(spec, params,
+                                 jnp.concatenate([phi, psi], -1)))
         delta = np.asarray(params["mlp"]["delta"])
         beta = np.cumsum(delta, axis=0)
         expected = np.stack(
