@@ -133,6 +133,7 @@ def run_single_experiment(
     verbose: bool = True,
     skip_existing: bool = False,
     mesh=None,
+    write_artifacts: bool = True,
 ) -> Optional[Dict[str, Any]]:
     """Dispatch by regression type (ref run_single_experiment :1936-2161):
     multi-quantile -> one joint model; quantile with multiple levels -> one
@@ -153,7 +154,7 @@ def run_single_experiment(
         if cfg.regression_type == "quantile" and cfg.current_quantile is None:
             cfg = cfg.replace(current_quantile=cfg.quantile_levels[0])
         return _run_one_fit(cfg, experiment_id, output_dir, verbose,
-                            mesh=mesh)
+                            mesh=mesh, write_artifacts=write_artifacts)
 
     # quantile regression with multiple levels: one model per tau
     quantile_results: Dict[float, Dict[str, Any]] = {}
@@ -178,7 +179,8 @@ def run_single_experiment(
                 "valid_true": pred["true"][pred["valid_mask"]],
             }
             continue
-        r = _run_one_fit(q_cfg, experiment_id, q_dir, verbose, mesh=mesh)
+        r = _run_one_fit(q_cfg, experiment_id, q_dir, verbose, mesh=mesh,
+                         write_artifacts=write_artifacts)
         quantile_results[q] = r
         quantile_preds[q] = r.pop("_split_predictions")
 
@@ -218,12 +220,13 @@ def run_single_experiment(
         "train_mae": mean_of("train_mae"),
         "total_time_seconds": total_time,
     }
-    save_json(aggregated, output_dir / "results.json")
+    if write_artifacts:
+        save_json(aggregated, output_dir / "results.json")
 
     # combined fan chart across the separate per-tau models' dense fields
     # (ref reloads per-tau checkpoints for this, :2094-2150; the stored
     # predictions.npz fields are those models' deterministic outputs)
-    if cfg.save_plots and cfg.save_artifacts:
+    if cfg.save_plots and cfg.save_artifacts and write_artifacts:
         try:
             from st_dadk_tpu.viz.plots import plot_combined_quantile_series
             qpred, z_full = {}, None
@@ -315,7 +318,8 @@ def _load_cached(path: Path, normalize: bool, verbose: bool):
 
 
 def _run_one_fit(cfg: ExperimentConfig, experiment_id: int, output_dir: Path,
-                 verbose: bool = True, mesh=None) -> Dict[str, Any]:
+                 verbose: bool = True, mesh=None,
+                 write_artifacts: bool = True) -> Dict[str, Any]:
     """One fit end-to-end (ref _run_single_quantile_experiment :2164-2633).
 
     With `mesh`, the fit is data-parallel over the mesh's 'data' axis
@@ -339,16 +343,22 @@ def _run_one_fit(cfg: ExperimentConfig, experiment_id: int, output_dir: Path,
     return finalize_experiment(cfg, setup, result, output_dir, total_time,
                                verbose=verbose,
                                stage_timings={"setup_seconds": t_setup,
-                                              "train_seconds": t_train})
+                                              "train_seconds": t_train},
+                               write_artifacts=write_artifacts)
 
 
 def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                         result: FitResult, output_dir: Path,
                         total_time: float, verbose: bool = False,
                         stage_timings: Optional[Dict[str, float]] = None,
-                        precomputed: Optional[Dict[str, Any]] = None
-                        ) -> Dict[str, Any]:
-    """Evaluation + results.json + artifacts + plots for one completed fit."""
+                        precomputed: Optional[Dict[str, Any]] = None,
+                        write_artifacts: bool = True) -> Dict[str, Any]:
+    """Evaluation + results.json + artifacts + plots for one completed fit.
+
+    `write_artifacts=False` computes everything (metrics, split
+    predictions) but performs NO filesystem writes — used by lockstep
+    multi-process fits (engine='dp' on a pod) where every process computes
+    identical results and only the primary may write."""
     t_eval_start = time.time()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -440,22 +450,23 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
             results[f"{split}_crps"] = m["crps"]
             results[f"{split}_check_loss"] = m["mean_check_loss"]
 
-    save_json(results, output_dir / "results.json")
+    if write_artifacts:
+        save_json(results, output_dir / "results.json")
 
-    # training_history.csv
-    import pandas as pd
-    pd.DataFrame({
-        "epoch": list(range(1, len(history["train_loss"]) + 1)),
-        "train_loss": history["train_loss"],
-        "val_loss": history["val_loss"],
-        "val_rmse": history["val_rmse"],
-        "lr": history["lr"],
-    }).to_csv(output_dir / "training_history.csv", index=False)
+        # training_history.csv
+        import pandas as pd
+        pd.DataFrame({
+            "epoch": list(range(1, len(history["train_loss"]) + 1)),
+            "train_loss": history["train_loss"],
+            "val_loss": history["val_loss"],
+            "val_rmse": history["val_rmse"],
+            "lr": history["lr"],
+        }).to_csv(output_dir / "training_history.csv", index=False)
 
     # -- artifacts ------------------------------------------------------------
     split_predictions = None
     all_predictions = (precomputed or {}).get("all_predictions")
-    if cfg.save_artifacts:
+    if cfg.save_artifacts and write_artifacts:
         save_params_npz(result.params, output_dir / "model_final.npz")
         save_params_npz(result.params, output_dir / "model_best.npz")
 
@@ -496,7 +507,7 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
             "valid_true": z_full[valid_mask],
         }
 
-    if cfg.save_plots:
+    if cfg.save_plots and write_artifacts:
         try:
             from st_dadk_tpu.viz import plots
             plots.plot_training_curves(history, output_dir / "training_curves.png")

@@ -152,31 +152,32 @@ def run_multiple_experiments(
                              verbose=verbose)
     else:
         mesh = None
+        write = True
         if engine == "dp":
-            if pc > 1:
-                # a pod DP run would need every process to drive the same
-                # global-mesh fit in lockstep while writing artifacts once;
-                # the lane-gated vmap engine (optionally over a hybrid
-                # {'exp','data'} mesh) is the supported pod path
-                raise ValueError(
-                    "engine='dp' is single-process; on a multi-process "
-                    "cluster use engine='vmap' (see docs/PARITY.md §2.4)")
             import jax
             from jax.sharding import Mesh
+            # global mesh: on a pod EVERY process drives each fit in
+            # lockstep (the per-step all-reduce spans hosts) and computes
+            # identical replicated results; only the primary writes
             mesh = Mesh(np.array(jax.devices()), ("data",))
+            if pc > 1:
+                from st_dadk_tpu.parallel.multihost import is_primary
+                write = is_primary()
         for i in range(start_id, end_id + 1):
-            if pc > 1 and (i - start_id) % pc != pid:
+            if engine != "dp" and pc > 1 and (i - start_id) % pc != pid:
                 continue   # sequential fits stripe across pod processes
             exp_dir = experiments_dir / str(i)
             exp_dir.mkdir(parents=True, exist_ok=True)
             try:
                 run_single_experiment(cfg, i, exp_dir, verbose=verbose,
-                                      skip_existing=skip_existing, mesh=mesh)
+                                      skip_existing=skip_existing, mesh=mesh,
+                                      write_artifacts=write)
             except Exception as e:
                 print(f"[FAILED] Experiment {i}: {e}")
-                with open(exp_dir / "error.txt", "w") as f:
-                    f.write(f"Experiment {i} FAILED\nError: {e}\n\n")
-                    f.write(traceback.format_exc())
+                if write:
+                    with open(exp_dir / "error.txt", "w") as f:
+                        f.write(f"Experiment {i} FAILED\nError: {e}\n\n")
+                        f.write(traceback.format_exc())
                 continue
 
     # On a multi-process mesh each process wrote only ITS lanes' artifacts

@@ -99,6 +99,18 @@ def main():
               synth_pointset(128, 1), seed=42, mesh=mesh)
     print(f"[p{pid}] DPVAL={float(res.history['val_rmse'][-1]):.6f}",
           flush=True)
+
+    # phase 3: engine='dp' through the runner — every process drives each
+    # fit in lockstep over the global mesh; only the primary writes
+    dp_out = out_dir + "_dp"
+    dp_run_cfg = ExperimentConfig.from_dict({
+        **CFG_DICT, "data_file": csv_path, "n_experiments": 2,
+        "save_artifacts": False, "save_plots": False})
+    summary = run_multiple_experiments(dp_run_cfg, dp_out, engine="dp")
+    if pid == 0:
+        assert summary is not None and summary["n_experiments"] == 2, summary
+    else:
+        assert summary is None
     print(f"[p{pid}] OK", flush=True)
 
 

@@ -142,3 +142,11 @@ def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
               mesh=Mesh(np.array(jax.devices()), ("data",)))
     assert np.isclose(dp_vals[0], float(res.history["val_rmse"][-1]),
                       rtol=1e-4, atol=1e-5)
+
+    # phase-3 artifacts: engine='dp' lockstep fits, written once by the
+    # primary, aggregated once
+    dp_out = Path(str(out_mp) + "_dp")
+    for e in (1, 2):
+        assert (dp_out / "experiments" / str(e) / "results.json").exists()
+    with open(dp_out / "summary" / "summary_statistics.json") as fh:
+        assert json.load(fh)["n_experiments"] == 2
