@@ -4,8 +4,8 @@
 PYTHON ?= python
 CPU_ENV = JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu
 
-.PHONY: help install test test-cov test-tpu lint train grid-search table44 \
-        analyze bench dryrun native clean
+.PHONY: help install test test-fast test-cov test-tpu lint train grid-search \
+        table44 analyze bench dryrun native clean
 
 help:
 	@echo "make install      - editable install"
@@ -25,6 +25,11 @@ install:
 
 test:
 	$(PYTHON) -m pytest tests/ -x -q
+
+# inner-loop lane: excludes the >=5s integration tests (marked slow in
+# tests/conftest.py); ~3 minutes on one CPU core vs ~17 for the full suite
+test-fast:
+	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
 
 test-cov:
 	$(PYTHON) -m pytest tests/ --cov=st_dadk_tpu --cov-report=term-missing

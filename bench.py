@@ -9,10 +9,11 @@ DA-STDK fit. We stream vmapped batches of M fits through the TPU with
 finalize pipelined against the next batch's training, and report
 steady-state fits/hour.
 
-Measurement protocol (round-2 tightening): THREE independent windows, each
->= MIN_WINDOW_SECONDS of whole batches, median window reported; window
-length and per-window rates are recorded in bench_details.json so rounds
-are comparable.
+Measurement protocol (round-3 tightening, VERDICT item 5): FIVE independent
+windows, each >= 90 s of whole batches, median window reported with the
+per-window spread; window lengths and rates are recorded in
+bench_details.json so round-over-round deltas are interpretable against the
+tunnel's run-to-run variance.
 
 Baseline: the same workload measured with the actual reference code on this
 host's CPU = 35.0 fits/hour single-process (baselines/reference_cpu.json;
@@ -45,8 +46,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FITS_PER_HOUR_1CORE = 35.0
 BASELINE_JOBLIB10_PROXY = BASELINE_FITS_PER_HOUR_1CORE * 10.0
-MIN_WINDOW_SECONDS = 60.0
-N_WINDOWS = 3
+MIN_WINDOW_SECONDS = float(os.environ.get("BENCH_WINDOW_SECONDS", 90.0))
+N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", 5))
 
 
 def log(msg: str) -> None:
@@ -129,10 +130,14 @@ def main() -> None:
 
         rates = sorted(w["fits_per_hour"] for w in windows)
         fits_per_hour = rates[len(rates) // 2]          # median window
+        spread_pct = ((rates[-1] - rates[0]) / fits_per_hour * 50.0
+                      if fits_per_hour else 0.0)        # +/- half-range %
 
         crps = [r.get("test_crps") for r in results]
         rmse = [r.get("test_rmse") for r in results]
-        log(f"[bench] median window: {fits_per_hour:.1f} fits/hr")
+        log(f"[bench] median window: {fits_per_hour:.1f} fits/hr "
+            f"(spread +/-{spread_pct:.1f}% over {len(rates)} windows, "
+            f"range {rates[0]:.0f}-{rates[-1]:.0f})")
         log(f"[bench] test CRPS mean={np.mean(crps):.4f} "
             f"(reference CPU: 0.484 +/- 0.013); "
             f"test RMSE mean={np.mean(rmse):.4f} (reference: 0.963)")
@@ -143,6 +148,7 @@ def main() -> None:
                         f"{MIN_WINDOW_SECONDS:.0f}s of whole pipelined batches",
             "windows": windows,
             "fits_per_hour": fits_per_hour,
+            "window_spread_pct": round(spread_pct, 2),
             "test_crps_last_window": crps, "test_rmse_last_window": rmse,
             "baseline_1core_fits_per_hour": BASELINE_FITS_PER_HOUR_1CORE,
             "baseline_joblib10_proxy": BASELINE_JOBLIB10_PROXY,

@@ -41,8 +41,15 @@ def load_table_4_4_results(results_dir: Path):
 
 
 def create_table_4_4(summaries):
+    proto = summaries.get("_protocol", {})
+    if proto.get("quarantined"):
+        print("[WARNING] this run used the quarantined eq310 mode "
+              "(reference sign-convention bug reproduction); CRPS values "
+              "are noise, not model quality")
     rows = {}
     for entry in summaries.values():
+        if not isinstance(entry, dict) or "scenario" not in entry:
+            continue
         key = entry["scenario"]
         rows.setdefault(key, {})[entry["model"]] = (
             f"{entry['test_crps_mean']:.4f} ± {entry['test_crps_std']:.4f}"

@@ -196,9 +196,13 @@ def run_batch(cfg, M, exp_dir, epochs_chunk=100, label="run"):
 
 
 def main():
+    import json
     import shutil
     import tempfile
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # ablation hook: ST_DADK_PROFILE_OVERRIDES='{"packed_optimizer": false}'
+    overrides = json.loads(os.environ.get("ST_DADK_PROFILE_OVERRIDES", "{}"))
+    BASE.update(overrides)
     tmp = Path(tempfile.mkdtemp(prefix="stdadk_prof_"))
     try:
         cfg = ExperimentConfig.from_dict({**BASE, "base_seed": 9999})

@@ -97,10 +97,16 @@ def main():
                         choices=[None, "kmeans_balanced", "kmeans_exact", "gmm",
                                  "random_site"])
     parser.add_argument("--non_crossing_lambda", type=float, default=None)
-    parser.add_argument("--delta_penalty_mode", type=str, default="eq310",
+    parser.add_argument("--delta_penalty_mode", type=str, default="abs",
                         choices=["eq310", "abs"],
-                        help="'eq310' = reference-exact (known runaway); "
-                             "'abs' = penalize infeasibility")
+                        help="'abs' (default) penalizes non-crossing "
+                             "infeasibility and is the HEADLINE protocol; "
+                             "'eq310' reproduces the reference's literal "
+                             "Eq. 3.10 sign convention, whose penalty "
+                             "rewards infeasibility and runs away (losses "
+                             "-> -inf, CRPS is noise) — kept ONLY as a "
+                             "reference-bug reproduction, quarantined from "
+                             "headline tables")
     parser.add_argument("--engine", type=str, default="vmap",
                         choices=["vmap", "sequential"])
     parser.add_argument("--skip-existing", action="store_true")
@@ -109,6 +115,17 @@ def main():
     out = Path(args.output_dir or
                f"results/{datetime.now().strftime('%Y%m%d_%H%M%S')}_table_4_4")
     out.mkdir(parents=True, exist_ok=True)
+
+    if args.delta_penalty_mode == "eq310":
+        warning = (
+            "eq310 mode reproduces the reference's sign-convention bug "
+            "(train_st_interp.py:100-110): the P_nc(delta) penalty REWARDS "
+            "quantile crossing, the loss runs away to -inf, and the "
+            "resulting CRPS values are noise. These results document "
+            "protocol fidelity only and must not be read as model quality; "
+            "use the default 'abs' mode for meaningful tables.")
+        print(f"[WARNING] {warning}")
+        (out / "QUARANTINE_eq310.txt").write_text(warning + "\n")
 
     configs = create_table_4_4_configs(args.config, args.da_stdk_init_method,
                                        args.non_crossing_lambda,
@@ -137,6 +154,9 @@ def main():
         print(f"  test CRPS: {entry['test_crps_mean']:.4f} "
               f"+/- {entry['test_crps_std']:.4f}" if crps else "  (no results)")
 
+    scenario_summaries["_protocol"] = {
+        "delta_penalty_mode": args.delta_penalty_mode,
+        "quarantined": args.delta_penalty_mode == "eq310"}
     save_json(scenario_summaries, out / "table_4_4_summary.json")
     print(f"\nTable 4.4 summary -> {out / 'table_4_4_summary.json'}")
 

@@ -106,6 +106,30 @@ class ExperimentConfig:
                                                # hardware bit generator, ~25% faster scans) or
                                                # 'threefry' (jax default, round-1 streams)
     mesh_axis: str = "exp"                     # mesh axis name for the experiment batch
+    packed_optimizer: bool = False             # run AdamW/EMA/clip on flat-packed param
+                                               # groups inside the epoch scan. Measured
+                                               # ~20% SLOWER on v5e (1277 vs 1058 ms per
+                                               # 100-epoch chunk): XLA already fuses the
+                                               # per-leaf update chains, and the pack's
+                                               # concat/slice traffic + lost fusions cost
+                                               # more than the saved kernel launches. Kept
+                                               # as a documented negative result / flag.
+    scan_unroll: int = 1                       # lax.scan unroll factor for the per-epoch
+                                               # batch-step loop (larger scheduling blocks)
+    train_dtype: str = "f32"                   # trunk activation dtype in training:
+                                               # 'bf16' halves the HBM activation traffic
+                                               # the fit scan is bound by (params, LN
+                                               # stats, losses, optimizer stay f32)
+    k_spatial_pad: Optional[int] = None        # ragged-k lane stacking (SURVEY §7.1
+                                               # step 6): pad this config's spatial basis
+                                               # to k_spatial_pad total centers so grid
+                                               # configs with different k_spatial_centers
+                                               # share ONE vmapped program. Real centers
+                                               # occupy the first sum(k_spatial_centers)
+                                               # rows; junk rows are zero-initialized and
+                                               # masked out of phi (consts
+                                               # 'spatial_k_mask'), so each lane's fit
+                                               # tracks its own-shape sequential run.
     tail_compaction: bool = False              # batch engine: after compaction_epoch, gather
                                                # still-active lanes into a narrower vmapped
                                                # program so early-stopped lanes stop costing

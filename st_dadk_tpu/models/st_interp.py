@@ -65,6 +65,12 @@ class ModelSpec:
     # in two kernels), so training defaults to the fully XLA-fused jnp
     # graph; inference always uses the fused kernel.
     use_fused_training: bool = False
+    # activation dtype for the training trunk: 'bf16' materializes the MLP
+    # activations (and their cotangents) in bfloat16, halving the HBM traffic
+    # the fit scan is bound by at this model size. Params, LayerNorm
+    # statistics, the loss, and the optimizer stay f32 (standard mixed
+    # precision); the head returns f32.
+    compute_dtype: str = "f32"
 
     @property
     def k_spatial(self) -> int:
@@ -88,9 +94,14 @@ class ModelSpec:
 
 
 def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -> ModelSpec:
+    # ragged-k stacking: the compiled program sees one padded resolution of
+    # k_spatial_pad centers; the real multi-resolution layout lives in the
+    # lane's cfg (inits, finalize slicing)
+    k_spatial = (tuple(cfg.k_spatial_centers) if cfg.k_spatial_pad is None
+                 else (int(cfg.k_spatial_pad),))
     return ModelSpec(
         p=cfg.p_covariates,
-        k_spatial_centers=tuple(cfg.k_spatial_centers),
+        k_spatial_centers=k_spatial,
         k_temporal_centers=tuple(cfg.k_temporal_centers),
         hidden_dims=tuple(cfg.hidden_dims),
         dropout=cfg.dropout,
@@ -102,6 +113,7 @@ def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -
         use_pallas=cfg.use_pallas if use_pallas is None else use_pallas,
         use_pallas_training=cfg.use_pallas_training,
         use_fused_training=cfg.use_fused_training,
+        compute_dtype=cfg.train_dtype,
     )
 
 
@@ -193,32 +205,48 @@ def _embed(spec: ModelSpec, params: Params, consts: Consts,
     else:
         phi = spatial_basis_embed(coords, centers, bandwidths,
                                   spec.spatial_basis_function)
+    if "spatial_k_mask" in consts:
+        # ragged-k lane stacking: zero the padded junk columns so neither the
+        # first-layer weight rows nor the junk centers receive gradients —
+        # with their zero initialization they then stay exactly zero and the
+        # lane's fit tracks its own-shape sequential run (see pad_lane_model)
+        phi = phi * consts["spatial_k_mask"]
     psi = temporal_basis_embed(t, consts["temporal_centers"],
                                consts["temporal_bandwidths"])
     return phi, psi
 
 
+def _cdtype(spec: ModelSpec):
+    return jnp.bfloat16 if spec.compute_dtype == "bf16" else jnp.float32
+
+
 def trunk(spec: ModelSpec, params: Params, features: jax.Array,
           train: bool = False, rng: Optional[jax.Array] = None) -> jax.Array:
-    """Hidden MLP: Linear -> LayerNorm -> ReLU -> Dropout per layer."""
+    """Hidden MLP: Linear -> LayerNorm -> ReLU -> Dropout per layer.
+
+    With compute_dtype='bf16' the activations flow in bfloat16 (params are
+    cast at use; LayerNorm statistics in f32)."""
+    cd = _cdtype(spec)
     mlp = params["mlp"]
-    h = features
+    h = features.astype(cd)
     for i in range(len(spec.hidden_dims)):
         lin = mlp[f"linear_{i}"]
-        h = h @ lin["w"] + lin["b"]
+        h = h @ lin["w"].astype(cd) + lin["b"].astype(cd)
         if spec.layernorm:
             ln = mlp[f"ln_{i}"]
-            mean = jnp.mean(h, axis=-1, keepdims=True)
-            var = jnp.var(h, axis=-1, keepdims=True)
-            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-            h = h * ln["scale"] + ln["bias"]
+            h32 = h.astype(jnp.float32)
+            mean = jnp.mean(h32, axis=-1, keepdims=True)
+            var = jnp.var(h32, axis=-1, keepdims=True)
+            h = ((h32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(cd)
+            h = h * ln["scale"].astype(cd) + ln["bias"].astype(cd)
         h = jax.nn.relu(h)
         if train and spec.dropout > 0.0:
             if rng is None:
                 raise ValueError("rng required for dropout in train mode")
             rng, sub = jax.random.split(rng)
             keep = jax.random.bernoulli(sub, 1.0 - spec.dropout, h.shape)
-            h = jnp.where(keep, h / (1.0 - spec.dropout), 0.0)
+            h = jnp.where(keep, h / jnp.asarray(1.0 - spec.dropout, cd),
+                          jnp.zeros((), cd))
     return h
 
 
@@ -368,13 +396,26 @@ def sparsity_penalty(spec: ModelSpec, params: Params, penalty_type: str,
     idx += spec.k_spatial
     temporal_w = w0[idx: idx + spec.k_temporal]          # (k_t, hidden)
 
+    def abs_l1(wb: jax.Array) -> jax.Array:
+        # torch-parity subgradient: d|w|/dw = 0 at w == 0 (jax.lax.abs uses
+        # +1 there). Random init never lands on exact zero, but ragged-k
+        # padding keeps junk rows at EXACTLY zero (pad_lane_model) — without
+        # this guard the L1 penalty would push them off zero.
+        return jnp.where(wb != 0, jnp.abs(wb), 0.0).sum()
+
     def block(wb: jax.Array) -> jax.Array:
         if penalty_type == "element":
-            return lambda_l1 * jnp.abs(wb).sum()
-        group = jnp.sqrt(jnp.sum(wb * wb, axis=1) + 0.0)
+            return lambda_l1 * abs_l1(wb)
+        # NaN-safe group norm: d sqrt(s)/dw = w/sqrt(s) is NaN at s == 0.
+        # Same exact-zero-row concern as abs_l1; the where-guard leaves
+        # values and gradients of nonzero rows bit-identical and gives zero
+        # rows a zero gradient instead of NaN.
+        s = jnp.sum(wb * wb, axis=1)
+        nz = s > 0
+        group = jnp.sqrt(jnp.where(nz, s, 1.0)) * nz.astype(wb.dtype)
         if penalty_type == "group":
             return lambda_group * group.sum()
-        return lambda_group * group.sum() + lambda_l1 * jnp.abs(wb).sum()
+        return lambda_group * group.sum() + lambda_l1 * abs_l1(wb)
 
     sp, tp = block(spatial_w), block(temporal_w)
     return {"spatial_penalty": sp, "temporal_penalty": tp,
@@ -383,3 +424,81 @@ def sparsity_penalty(spec: ModelSpec, params: Params, penalty_type: str,
 
 def count_parameters(params: Params) -> int:
     return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))
+
+
+# ---------------------------------------------------------------------------
+# Ragged-k lane padding (SURVEY §7.1 step 6: grid configs with different
+# k_spatial_centers stack into one padded vmapped program)
+# ---------------------------------------------------------------------------
+
+def pad_lane_model(spec_real: ModelSpec, k_pad: int, params: Params,
+                   consts: Consts) -> Tuple[Params, Consts]:
+    """Pad a REAL-shape (params, consts) pair to a k_pad-wide spatial basis.
+
+    Invariants that make the padded lane's fit track its own-shape
+    sequential run (up to matmul reduction order):
+      - real centers/bandwidths/weight-rows occupy the leading rows; the
+        `spatial_k_mask` in consts zeroes phi's junk columns, so junk rows of
+        the first-layer weights and junk centers receive ZERO gradients;
+      - junk centers/log-bandwidths/weight-rows are initialized to exactly 0
+        (bandwidth 1 in linear space), so AdamW's decoupled weight decay
+        (p *= 1-lr*wd) keeps them at exactly 0 and every penalty (domain,
+        movement, sparsity group norms) sees zero contribution from them.
+    """
+    k = spec_real.k_spatial
+    pad = k_pad - k
+    if pad < 0:
+        raise ValueError(f"k_pad {k_pad} < real k {k}")
+
+    def pad0(x, rows):
+        return jnp.concatenate(
+            [x, jnp.zeros((rows,) + tuple(x.shape[1:]), x.dtype)], axis=0)
+
+    new_consts = dict(consts)
+    new_consts["spatial_centers_init"] = pad0(
+        jnp.asarray(consts["spatial_centers_init"]), pad)
+    new_consts["spatial_bandwidths_init"] = jnp.concatenate(
+        [jnp.asarray(consts["spatial_bandwidths_init"]),
+         jnp.ones((pad,), jnp.float32)])
+    new_consts["spatial_k_mask"] = (
+        jnp.arange(k_pad) < k).astype(jnp.float32)
+
+    new_params = {k2: dict(v) for k2, v in params.items()}
+    if "basis" in new_params:
+        b = new_params["basis"]
+        b["centers"] = pad0(jnp.asarray(b["centers"]), pad)
+        b["log_bandwidths"] = jnp.concatenate(
+            [jnp.asarray(b["log_bandwidths"]), jnp.zeros((pad,), jnp.float32)])
+    lin0 = dict(new_params["mlp"]["linear_0"])
+    w = jnp.asarray(lin0["w"])                 # (p + k + k_t, H)
+    cut = spec_real.p + k
+    lin0["w"] = jnp.concatenate(
+        [w[:cut], jnp.zeros((pad, w.shape[1]), w.dtype), w[cut:]], axis=0)
+    new_params["mlp"]["linear_0"] = lin0
+    return new_params, new_consts
+
+
+def strip_lane_padding(spec_real: ModelSpec, k_pad: int, params: Params,
+                       consts: Consts) -> Tuple[Params, Consts]:
+    """Inverse of pad_lane_model for finalize: slice the real rows back out
+    so artifacts (model_final.npz, basis_info.npz, plots) carry the lane's
+    true shapes."""
+    k = spec_real.k_spatial
+    new_consts = dict(consts)
+    new_consts["spatial_centers_init"] = np.asarray(
+        consts["spatial_centers_init"])[:k]
+    new_consts["spatial_bandwidths_init"] = np.asarray(
+        consts["spatial_bandwidths_init"])[:k]
+    new_consts.pop("spatial_k_mask", None)
+
+    new_params = {k2: dict(v) for k2, v in params.items()}
+    if "basis" in new_params:
+        b = new_params["basis"]
+        b["centers"] = np.asarray(b["centers"])[:k]
+        b["log_bandwidths"] = np.asarray(b["log_bandwidths"])[:k]
+    lin0 = dict(new_params["mlp"]["linear_0"])
+    w = np.asarray(lin0["w"])
+    cut = spec_real.p + k
+    lin0["w"] = np.concatenate([w[:cut], w[spec_real.p + k_pad:]], axis=0)
+    new_params["mlp"]["linear_0"] = lin0
+    return new_params, new_consts

@@ -215,6 +215,23 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
     from st_dadk_tpu.train.runner import aggregate_results, load_all_results
 
     cfg_objs = [ExperimentConfig.from_dict(c) for c in configs]
+
+    # ragged-k stacking (SURVEY §7.1 step 6): configs whose stacking key
+    # differs ONLY in k_spatial_centers share one padded program — set
+    # k_spatial_pad = the group's max total k on every member, after which
+    # stacking_key treats the real k layout as a lane property.
+    ragged_groups: Dict[Any, List[int]] = {}
+    for i, c in enumerate(cfg_objs):
+        key_wo_k = stacking_key(c.replace(k_spatial_pad=-1))
+        ragged_groups.setdefault(key_wo_k, []).append(i)
+    for members in ragged_groups.values():
+        klists = {tuple(cfg_objs[i].k_spatial_centers) for i in members}
+        if len(klists) > 1 and all(cfg_objs[i].k_spatial_pad is None
+                                   for i in members):
+            k_pad = max(sum(k) for k in klists)
+            for i in members:
+                cfg_objs[i] = cfg_objs[i].replace(k_spatial_pad=k_pad)
+
     buckets: Dict[Any, List[int]] = {}
     for i, c in enumerate(cfg_objs):
         try:

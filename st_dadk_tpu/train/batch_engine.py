@@ -304,12 +304,19 @@ _STACKABLE_KEYS = frozenset({
 
 def stacking_key(cfg: ExperimentConfig):
     """Configs whose non-observation fields match compile to the SAME lane
-    program and may share one vmapped batch (see run_job_batch)."""
+    program and may share one vmapped batch (see run_job_batch).
+
+    With k_spatial_pad set (ragged-k stacking), k_spatial_centers becomes a
+    per-lane property — the compiled program is determined by the shared pad
+    width, so configs differing only in their real k layout stack."""
     import dataclasses
     d = dataclasses.asdict(cfg)
+    skip = set(_STACKABLE_KEYS)
+    if cfg.k_spatial_pad is not None:
+        skip.add("k_spatial_centers")
     return tuple(sorted(
         (k, tuple(v) if isinstance(v, list) else v)
-        for k, v in d.items() if k not in _STACKABLE_KEYS))
+        for k, v in d.items() if k not in skip))
 
 
 def run_job_batch(
@@ -476,13 +483,6 @@ def _execute_job_batch(
                                                "kmeans_exact")
     coords_list = [s.train_ps.coords if needs_coords else None
                    for s in setups]
-    from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
-    inits = init_spatial_centers_batch(
-        cfg.spatial_init_method, cfg.k_spatial_centers, coords_list, keys,
-        rng_states=[s.np_rng_state for s in setups])
-    centers_b = jnp.asarray(np.stack([c for c, _ in inits]))
-    bw_b = jnp.asarray(np.stack([b for _, b in inits]))
-    t_setup = prep["t_prep"] + (time.time() - t_phase)
     spec_model = setups[0].spec
 
     batch_size = adaptive_batch_size(
@@ -504,14 +504,13 @@ def _execute_job_batch(
     # lanes stacked on host (numpy); uploaded ONCE with the lane sharding at
     # the device_put below (an eager per-leaf asarray here would upload every
     # leaf unsharded and then re-place it). Model init + carry construction
-    # is ONE jitted program (see loop.prepare_carry_batch).
+    # is ONE jitted program per lane k-group (see loop.prepare_carry_batch);
+    # a ragged-k batch (cfg.k_spatial_pad) has one group per distinct
+    # k_spatial_centers, concatenated back into lane order.
     data_b = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *datas)
-    carry_b, consts_b = prepare_carry_batch(spec_model, len(setups))(
-        keys, centers_b, bw_b)
-    # per-lane consts/param-count for finalize, materialized on host in one
-    # pull (per-lane device slicing would compile one tiny program per index)
-    n_params = int(sum(np.prod(l.shape[1:]) for l in
-                       jax.tree_util.tree_leaves(carry_b["params"])))
+    carry_b, consts_b, n_params_lanes = _init_lane_carries(
+        cfg, setups, keys, coords_list)
+    t_setup = prep["t_prep"] + (time.time() - t_phase)
     mixed_tau = False
     tau0 = None
     if cfg.regression_type == "quantile":
@@ -528,7 +527,7 @@ def _execute_job_batch(
     consts_host = jax.tree_util.tree_map(np.asarray, consts_b)
     for i, s in enumerate(setups):
         s.consts = jax.tree_util.tree_map(lambda x, i=i: x[i], consts_host)
-        s.n_params = n_params
+        s.n_params = n_params_lanes[i]
 
     import dataclasses
     E = cfg.epochs
@@ -728,6 +727,95 @@ def _execute_job_batch(
                 lr_recorded_lanes=lr_recorded_lanes, M=M, M_pad=M + pad_lanes,
                 mesh=mesh, wall=wall,
                 t_setup=t_setup, t_train=t_train, verbose=verbose)
+
+
+_PARAM_COUNT_CACHE: Dict[Any, int] = {}
+_CONCAT_JIT_CACHE: Dict[Any, Any] = {}
+
+
+def _count_params_for(spec_real) -> int:
+    from st_dadk_tpu.models.st_interp import init_model
+
+    n = _PARAM_COUNT_CACHE.get(spec_real)
+    if n is None:
+        params = jax.eval_shape(
+            lambda k: init_model(k, spec_real),
+            jax.ShapeDtypeStruct((2,), jnp.uint32))[0]
+        n = int(sum(np.prod(l.shape)
+                    for l in jax.tree_util.tree_leaves(params)))
+        _PARAM_COUNT_CACHE[spec_real] = n
+    return n
+
+
+def _concat_lane_trees(trees: List[Any], inv: np.ndarray):
+    """Concatenate per-group lane trees and reorder rows into lane order.
+    One cached jitted program per (structure, shapes, permutation)."""
+    treedef = jax.tree_util.tree_structure(trees[0])
+    sig = (treedef,
+           tuple(tuple(l.shape) for t in trees
+                 for l in jax.tree_util.tree_leaves(t)),
+           inv.tobytes())
+    fn = _CONCAT_JIT_CACHE.get(sig)
+    if fn is None:
+        inv_c = jnp.asarray(inv, jnp.int32)
+        fn = jax.jit(lambda *ts: jax.tree_util.tree_map(
+            lambda *xs: jnp.take(jnp.concatenate(xs, axis=0), inv_c,
+                                 axis=0), *ts))
+        _CONCAT_JIT_CACHE[sig] = fn
+    return fn(*trees)
+
+
+def _init_lane_carries(cfg: ExperimentConfig, setups: List, keys,
+                       coords_list: List):
+    """Batched data-adaptive init + carry construction for all lanes.
+
+    Uniform batches (every lane shares cfg.k_spatial_centers and
+    k_spatial_pad is unset) run the single vmapped program of round 2.
+    Ragged-k batches (cfg.k_spatial_pad, SURVEY §7.1 step 6) group lanes by
+    their REAL k layout: each group draws params at real shapes (identical
+    values to the sequential engine) and zero-pads to the shared width
+    (pad_lane_model); groups concatenate back into lane order. Returns
+    (carry_b, consts_b, per-lane param counts)."""
+    import dataclasses
+
+    from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
+
+    M = len(setups)
+    k_pad = cfg.k_spatial_pad
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, s in enumerate(setups):
+        groups.setdefault(tuple(getattr(s, "cfg", cfg).k_spatial_centers),
+                          []).append(i)
+
+    parts = []
+    n_params_lanes = [0] * M
+    for klist, idx in groups.items():
+        idx_np = np.asarray(idx)
+        inits = init_spatial_centers_batch(
+            cfg.spatial_init_method, list(klist),
+            [coords_list[i] for i in idx], keys[idx_np],
+            rng_states=[setups[i].np_rng_state for i in idx])
+        centers_g = jnp.asarray(np.stack([c for c, _ in inits]))
+        bw_g = jnp.asarray(np.stack([b for _, b in inits]))
+        spec_real = dataclasses.replace(
+            setups[idx[0]].spec, k_spatial_centers=tuple(klist))
+        carry_g, consts_g = prepare_carry_batch(
+            spec_real, len(idx),
+            k_pad=None if k_pad is None else int(k_pad))(
+                keys[idx_np], centers_g, bw_g)
+        n_real = _count_params_for(spec_real)
+        for i in idx:
+            n_params_lanes[i] = n_real
+        parts.append((idx_np, carry_g, consts_g))
+
+    if len(parts) == 1:
+        return parts[0][1], parts[0][2], n_params_lanes
+    order = np.concatenate([p[0] for p in parts])
+    inv = np.argsort(order)
+    carry_b = _concat_lane_trees([p[1] for p in parts], inv)
+    consts_b = _concat_lane_trees([p[2] for p in parts], inv)
+    return carry_b, consts_b, n_params_lanes
 
 
 @jax.jit

@@ -278,6 +278,7 @@ class ExperimentSetup:
                                           self.test_mask)
 
         self.spec = spec_from_config(cfg, use_pallas=_pallas_available(cfg))
+        self.cfg = cfg
         self.params = None
         self.consts = None
         # global numpy RNG state at this point (after the seeded mask draws).
@@ -297,10 +298,28 @@ class ExperimentSetup:
             self.finish_model(centers, bandwidths)
 
     def finish_model(self, centers, bandwidths) -> None:
-        """Instantiate params/consts from (possibly batch-computed) centers."""
-        self.params, self.consts = init_model(
-            jax.random.PRNGKey(self.experiment_seed), self.spec,
+        """Instantiate params/consts from (possibly batch-computed) centers.
+
+        Ragged-k stacking (cfg.k_spatial_pad): params draw at the lane's REAL
+        shapes — same values as an unpadded sequential run — then pad to the
+        shared program width (models.st_interp.pad_lane_model)."""
+        import dataclasses
+
+        from st_dadk_tpu.models.st_interp import pad_lane_model
+
+        cfg = self.cfg
+        if cfg.k_spatial_pad is None:
+            self.params, self.consts = init_model(
+                jax.random.PRNGKey(self.experiment_seed), self.spec,
+                centers, bandwidths)
+            return
+        spec_real = dataclasses.replace(
+            self.spec, k_spatial_centers=tuple(cfg.k_spatial_centers))
+        params, consts = init_model(
+            jax.random.PRNGKey(self.experiment_seed), spec_real,
             centers, bandwidths)
+        self.params, self.consts = pad_lane_model(
+            spec_real, int(cfg.k_spatial_pad), params, consts)
 
 
 _CSV_CACHE: Dict[Tuple[str, bool], Tuple[np.ndarray, np.ndarray, Dict]] = {}
@@ -347,6 +366,60 @@ def _run_one_fit(cfg: ExperimentConfig, experiment_id: int, output_dir: Path,
                                write_artifacts=write_artifacts)
 
 
+def _tensor_stats(arr: np.ndarray) -> Dict[str, Any]:
+    a = np.asarray(arr, np.float64)
+    finite = np.isfinite(a)
+    fa = a[finite]
+    return {
+        "shape": list(a.shape),
+        "n_nonfinite": int((~finite).sum()),
+        "min": float(fa.min()) if fa.size else None,
+        "max": float(fa.max()) if fa.size else None,
+        "mean": float(fa.mean()) if fa.size else None,
+        "std": float(fa.std()) if fa.size else None,
+    }
+
+
+def _write_nan_diagnostics(output_dir: Path, result: FitResult,
+                           setup: "ExperimentSetup",
+                           nan_epochs: np.ndarray) -> None:
+    """Postmortem dump after NaN-poisoned epochs (ref train_st_interp.py
+    :723-733 prints loss/param/input statistics at the NaN step; the jitted
+    loop poisons the step ON DEVICE and continues, so this reconstructs the
+    host-visible equivalent at finalize: which epochs poisoned, per-leaf
+    statistics of the final and serving params, and training-input stats.
+    Per-step gradient stats are not observable from outside the compiled
+    scan; the poisoned epochs' loss values in training_history.csv plus the
+    param drift between serving (pre-NaN best) and final params localize the
+    blow-up in practice."""
+    flat_params: Dict[str, Any] = {}
+
+    def walk(tree, prefix, into):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}{k}.", into)
+        else:
+            into[prefix[:-1]] = _tensor_stats(np.asarray(tree))
+
+    walk(result.params, "serving_params.", flat_params)
+    walk(result.final_ema, "final_ema.", flat_params)
+    diag = {
+        "nan_epochs": nan_epochs.tolist(),
+        "n_epochs_run": int(result.n_epochs_run),
+        "train_loss_tail": np.asarray(
+            result.history["train_loss"])[-10:].tolist(),
+        "val_loss_tail": np.asarray(
+            result.history["val_loss"])[-10:].tolist(),
+        "inputs": {
+            "train_y": _tensor_stats(setup.train_ps.y),
+            "train_coords": _tensor_stats(setup.train_ps.coords),
+            "train_t": _tensor_stats(setup.train_ps.t),
+        },
+        "params": flat_params,
+    }
+    save_json(diag, output_dir / "nan_diagnostics.json")
+
+
 def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                         result: FitResult, output_dir: Path,
                         total_time: float, verbose: bool = False,
@@ -371,11 +444,34 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                                          setup.test_mask)
     train_ps, valid_ps, test_ps = setup.train_ps, setup.valid_ps, setup.test_ps
     obs_mask = setup.obs_mask
+
+    if cfg.k_spatial_pad is not None:
+        # ragged-k lane: strip the shared-program padding so every artifact
+        # (results.json n_parameters, model npz, basis_info, plots) carries
+        # the lane's REAL shapes (models.st_interp.strip_lane_padding)
+        import dataclasses as _dc
+
+        from st_dadk_tpu.models.st_interp import strip_lane_padding
+        spec_real = _dc.replace(
+            spec, k_spatial_centers=tuple(cfg.k_spatial_centers))
+        k_pad = int(cfg.k_spatial_pad)
+        p_real, consts = strip_lane_padding(spec_real, k_pad,
+                                            result.params, consts)
+        e_real, _ = strip_lane_padding(spec_real, k_pad,
+                                       result.final_ema, setup.consts)
+        result = result._replace(
+            params=p_real, final_ema=e_real,
+            centers_history=[(e, np.asarray(c)[:spec_real.k_spatial])
+                             for e, c in result.centers_history])
+        spec = spec_real
+        n_params = count_parameters(p_real)
+    else:
+        n_params = getattr(setup, "n_params", None)
+        if n_params is None:
+            n_params = count_parameters(setup.params)
+
     init_centers_np = np.asarray(consts["spatial_centers_init"])
     init_bw_np = np.asarray(consts["spatial_bandwidths_init"])
-    n_params = getattr(setup, "n_params", None)
-    if n_params is None:
-        n_params = count_parameters(setup.params)
 
     history = {
         "train_loss": result.history["train_loss"].tolist(),
@@ -449,6 +545,18 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                          ("test", test_metrics)):
             results[f"{split}_crps"] = m["crps"]
             results[f"{split}_check_loss"] = m["mean_check_loss"]
+
+    nan_epochs = np.flatnonzero(~np.isfinite(
+        np.asarray(result.history["train_loss"], np.float64)))
+    if nan_epochs.size and write_artifacts:
+        # NaN postmortem (ref train_st_interp.py:723-733 dumps tensor stats
+        # when a NaN loss poisons a step; here the poison/skip happens on
+        # device, so the host dumps the state it can see on chunk exit)
+        _write_nan_diagnostics(output_dir, result, setup, nan_epochs)
+        if verbose:
+            print(f"[WARNING] NaN train loss in epochs "
+                  f"{nan_epochs.tolist()}; diagnostics -> "
+                  f"{output_dir / 'nan_diagnostics.json'}")
 
     if write_artifacts:
         save_json(results, output_dir / "results.json")

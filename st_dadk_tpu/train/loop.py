@@ -111,6 +111,15 @@ class LoopSpec:
     # remain deterministic per seed, just from a different (equally valid)
     # stream. 'threefry' keeps the jax default (round-1 behavior).
     dropout_rng: str = "rbg"
+    # run AdamW/EMA/clip/select on flat-packed param groups inside the scan
+    # (train.packing): the fit is kernel-latency-bound at this model size and
+    # packing cuts the per-step kernel count roughly in half. Identical math
+    # per element (clip's reduction order differs within f32 rounding).
+    packed_opt: bool = True
+    # unroll factor for the per-epoch batch-step lax.scan
+    scan_unroll: int = 2
+    # gather the epoch's minibatches once per epoch instead of per step
+    pregather: bool = True
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, model: ModelSpec,
@@ -145,6 +154,9 @@ class LoopSpec:
             n_val_chunks=n_val_chunks,
             record_centers=cfg.spatial_learnable,
             dropout_rng=cfg.dropout_rng,
+            packed_opt=cfg.packed_optimizer,
+            scan_unroll=cfg.scan_unroll,
+            pregather=bool(cfg.extra.get("pregather", True)),
         )
 
 
@@ -173,7 +185,15 @@ def training_loss(spec: LoopSpec, params: Params, consts: Dict[str, Any],
     """Composite objective (ref train_st_interp.py:619-691; val :753-783)."""
     m = spec.model
     preds = forward(m, params, consts, None, coords, t, train=train, rng=rng)
+    return loss_from_preds(spec, params, consts, preds, y, w, train)
 
+
+def loss_from_preds(spec: LoopSpec, params: Params, consts: Dict[str, Any],
+                    preds: jax.Array, y: jax.Array, w: jax.Array,
+                    train: bool) -> jax.Array:
+    """Composite objective given the forward's predictions (lets validation
+    share one forward between its loss and its RMSE predictions)."""
+    m = spec.model
     if spec.regression_type == "mean":
         loss = mse_loss(preds, y, w)
     elif spec.regression_type == "quantile":
@@ -269,9 +289,8 @@ def _validate(spec: LoopSpec, ema: Params, consts: Dict[str, Any],
     def chunk_stats(carry, xs):
         ck, tk, yk, wk = xs
         ck, tk, yk, wk = _dp_shard(spec, mesh, ck, tk, yk, wk)
-        loss = training_loss(spec, ema, consts, ck, tk, yk, wk,
-                             train=False, rng=None)
         preds = forward(m, ema, consts, None, ck, tk, train=False)
+        loss = loss_from_preds(spec, ema, consts, preds, yk, wk, train=False)
         if spec.regression_type == "multi-quantile":
             median_idx = len(spec.quantile_levels) // 2
             p_for_rmse = preds[:, median_idx:median_idx + 1]
@@ -363,12 +382,26 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
         drop_key = jax.random.wrap_key_data(jnp.concatenate([kd, kd]),
                                             impl="rbg")
 
+    # gather the epoch's minibatches once (identical values; the per-step
+    # gathers become scan xs slices). The dp path keeps per-step gathers so
+    # its batch sharding constraint applies where it did before.
+    pregather = spec.pregather and spec.dp_axis is None
+    if pregather:
+        xs_all = (data.tr_coords[batch_idx], data.tr_t[batch_idx],
+                  data.tr_y[batch_idx], data.tr_w[batch_idx], lr_epoch,
+                  jnp.arange(B, dtype=jnp.int32))
+    else:
+        xs_all = (batch_idx, lr_epoch, jnp.arange(B, dtype=jnp.int32))
+
     def train_step(step_carry, xs):
         params, opt_state, ema, nan_epoch, loss_sum = step_carry
-        idx, lrs, b = xs
-        coords, t, y, w = _dp_shard(spec, mesh, data.tr_coords[idx],
-                                    data.tr_t[idx], data.tr_y[idx],
-                                    data.tr_w[idx])
+        if pregather:
+            coords, t, y, w, lrs, b = xs
+        else:
+            idx, lrs, b = xs
+            coords, t, y, w = _dp_shard(spec, mesh, data.tr_coords[idx],
+                                        data.tr_t[idx], data.tr_y[idx],
+                                        data.tr_w[idx])
         rng = jax.random.fold_in(drop_key, b)
 
         loss, grads = jax.value_and_grad(
@@ -398,8 +431,7 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     step_init = (carry["params"], carry["opt_state"], carry["ema"],
                  jnp.asarray(False), jnp.asarray(0.0, jnp.float32))
     (params, opt_state, ema, nan_epoch, loss_sum), _ = jax.lax.scan(
-        train_step, step_init,
-        (batch_idx, lr_epoch, jnp.arange(B, dtype=jnp.int32)))
+        train_step, step_init, xs_all, unroll=spec.scan_unroll)
 
     train_loss = loss_sum / jnp.maximum(data.n_batches.astype(jnp.float32), 1.0)
     train_loss = jnp.where(nan_epoch, jnp.nan, train_loss)
@@ -446,6 +478,191 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     return new_carry, hist
 
 
+# ---------------------------------------------------------------------------
+# Packed-group epoch (train.packing): same semantics as _run_epoch, with the
+# optimizer/EMA/select machinery running on two flat vectors instead of ~15
+# small leaves. Used inside one fit-chunk dispatch only; the external carry
+# keeps the structured layout (checkpoints/pulls unchanged).
+# ---------------------------------------------------------------------------
+
+def _pack_carry(ps, carry: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        "pk": ps.pack(carry["params"]),
+        "mk": ps.pack(carry["opt_state"]["m"]),
+        "vk": ps.pack(carry["opt_state"]["v"]),
+        "ek": ps.pack(carry["ema"]),
+        "bk": ps.pack(carry["best_ema"]),
+        "step": carry["opt_state"]["step"],
+        "best_val": carry["best_val"],
+        "has_best": carry["has_best"],
+        "patience_ctr": carry["patience_ctr"],
+        "stopped": carry["stopped"],
+        "stop_epoch": carry["stop_epoch"],
+        "key": carry["key"],
+    }
+
+
+def _unpack_carry(ps, pc: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        "params": ps.unpack(pc["pk"]),
+        "opt_state": {"m": ps.unpack(pc["mk"]), "v": ps.unpack(pc["vk"]),
+                      "step": pc["step"]},
+        "ema": ps.unpack(pc["ek"]),
+        "best_ema": ps.unpack(pc["bk"]),
+        "best_val": pc["best_val"],
+        "has_best": pc["has_best"],
+        "patience_ctr": pc["patience_ctr"],
+        "stopped": pc["stopped"],
+        "stop_epoch": pc["stop_epoch"],
+        "key": pc["key"],
+    }
+
+
+def _run_epoch_packed(spec: LoopSpec, ps, consts: Dict[str, Any],
+                      data: TrainData, carry: Dict[str, Any],
+                      epoch_xs: Tuple[jax.Array, jax.Array, jax.Array],
+                      mesh=None) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
+    from st_dadk_tpu.train.packing import packed_adamw, packed_clip
+
+    epoch_idx, lr_epoch, active = epoch_xs    # lr_epoch: (n_batches, 2)
+    m = spec.model
+    B = spec.n_batches
+    bs = spec.batch_size
+    cap = data.tr_coords.shape[0]
+    k = m.k_spatial
+
+    key = jax.random.fold_in(carry["key"], epoch_idx)
+    perm_key, drop_key = jax.random.split(key)
+    batch_idx = epoch_batch_indices(perm_key, cap, bs, B, data.n_batches,
+                                    uniform=spec.uniform_lanes)
+    if spec.dropout_rng == "rbg" and m.dropout > 0.0:
+        kd = (jax.random.key_data(drop_key)
+              if jnp.issubdtype(drop_key.dtype, jax.dtypes.prng_key)
+              else drop_key)
+        drop_key = jax.random.wrap_key_data(jnp.concatenate([kd, kd]),
+                                            impl="rbg")
+
+    # pre-gather the whole epoch's minibatches in ONE kernel per tensor (the
+    # per-step gathers cost 4 kernels x B per epoch; identical values). The
+    # dp path keeps per-step gathers so its sharding constraint stays as-is.
+    pregather = spec.pregather and spec.dp_axis is None
+    if pregather:
+        ep_coords = data.tr_coords[batch_idx]          # (B, bs, 2)
+        ep_t = data.tr_t[batch_idx]
+        ep_y = data.tr_y[batch_idx]
+        ep_w = data.tr_w[batch_idx]
+        xs_all = (ep_coords, ep_t, ep_y, ep_w, lr_epoch,
+                  jnp.arange(B, dtype=jnp.int32))
+    else:
+        xs_all = (batch_idx, lr_epoch, jnp.arange(B, dtype=jnp.int32))
+
+    damping_on = m.spatial_learnable and spec.gradient_damping
+    lr_col = {"mlp": 0, "basis": 1}
+
+    def train_step(step_carry, xs):
+        pk, mk, vk, ek, step, nan_epoch, loss_sum = step_carry
+        if pregather:
+            coords, t, y, w, lrs, b = xs
+        else:
+            idx, lrs, b = xs
+            coords, t, y, w = _dp_shard(spec, mesh, data.tr_coords[idx],
+                                        data.tr_t[idx], data.tr_y[idx],
+                                        data.tr_w[idx])
+        rng = jax.random.fold_in(drop_key, b)
+
+        loss, gk = jax.value_and_grad(
+            lambda q: training_loss(spec, ps.unpack(q), consts, coords, t, y,
+                                    w, train=True, rng=rng))(pk)
+        if damping_on:
+            centers = pk["basis"][: 2 * k].reshape(k, 2)
+            move = centers - consts["spatial_centers_init"]
+            dist = jnp.linalg.norm(move, axis=1, keepdims=True)
+            factor = jnp.exp(-spec.damping_strength
+                             * jnp.maximum(dist - spec.damping_threshold, 0.0))
+            scale = jnp.concatenate([
+                jnp.broadcast_to(factor, (k, 2)).reshape(-1),
+                jnp.ones((pk["basis"].shape[-1] - 2 * k,), jnp.float32)])
+            gk = dict(gk, basis=gk["basis"] * jax.lax.stop_gradient(scale))
+        if spec.grad_clip > 0:
+            clipped = {g: packed_clip(
+                gk[g], spec.grad_clip * (0.1 if g == "basis" else 1.0))
+                for g in gk}
+            gk = clipped
+
+        t_new = step + 1
+        tf = t_new.astype(jnp.float32)
+        npk, nmk, nvk = {}, {}, {}
+        for g in pk:
+            npk[g], nmk[g], nvk[g] = packed_adamw(
+                pk[g], gk[g], mk[g], vk[g], tf, lrs[lr_col[g]],
+                spec.weight_decay)
+        nek = {g: data.ema_decay * ek[g] + (1.0 - data.ema_decay) * npk[g]
+               for g in ek}
+
+        executes = jnp.logical_and(b < data.n_batches,
+                                   jnp.logical_not(nan_epoch))
+        w_ = lambda a, c: jnp.where(executes, a, c)
+        pk = {g: w_(npk[g], pk[g]) for g in pk}
+        mk = {g: w_(nmk[g], mk[g]) for g in mk}
+        vk = {g: w_(nvk[g], vk[g]) for g in vk}
+        ek = {g: w_(nek[g], ek[g]) for g in ek}
+        step = jnp.where(executes, t_new, step)
+        loss_sum = loss_sum + jnp.where(executes, loss, 0.0)
+        nan_epoch = jnp.logical_or(
+            nan_epoch, jnp.logical_and(executes, ~jnp.isfinite(loss)))
+        return (pk, mk, vk, ek, step, nan_epoch, loss_sum), None
+
+    step_init = (carry["pk"], carry["mk"], carry["vk"], carry["ek"],
+                 carry["step"], jnp.asarray(False),
+                 jnp.asarray(0.0, jnp.float32))
+    (pk, mk, vk, ek, step, nan_epoch, loss_sum), _ = jax.lax.scan(
+        train_step, step_init, xs_all, unroll=spec.scan_unroll)
+
+    train_loss = loss_sum / jnp.maximum(data.n_batches.astype(jnp.float32), 1.0)
+    train_loss = jnp.where(nan_epoch, jnp.nan, train_loss)
+
+    val_loss, val_rmse = _validate(spec, ps.unpack(ek), consts, data,
+                                   mesh=mesh)
+
+    improved = jnp.logical_and(jnp.isfinite(val_loss),
+                               val_loss < carry["best_val"])
+    best_val = jnp.where(improved, val_loss, carry["best_val"])
+    bk = {g: jnp.where(improved, ek[g], carry["bk"][g]) for g in ek}
+    has_best = jnp.logical_or(carry["has_best"], improved)
+    patience_ctr = jnp.where(improved, 0, carry["patience_ctr"] + 1)
+    stop_now = patience_ctr >= spec.patience
+    stopped = jnp.logical_or(carry["stopped"], stop_now)
+    stop_epoch = jnp.where(
+        jnp.logical_and(stop_now, jnp.logical_not(carry["stopped"])),
+        epoch_idx + 1, carry["stop_epoch"])
+
+    was_stopped = jnp.logical_or(carry["stopped"], jnp.logical_not(active))
+    kv = lambda a, c: jnp.where(was_stopped, c, a)
+    new_carry = {
+        "pk": {g: kv(pk[g], carry["pk"][g]) for g in pk},
+        "mk": {g: kv(mk[g], carry["mk"][g]) for g in mk},
+        "vk": {g: kv(vk[g], carry["vk"][g]) for g in vk},
+        "ek": {g: kv(ek[g], carry["ek"][g]) for g in ek},
+        "bk": {g: kv(bk[g], carry["bk"][g]) for g in bk},
+        "step": kv(step, carry["step"]),
+        "best_val": jnp.where(was_stopped, carry["best_val"], best_val),
+        "has_best": jnp.where(was_stopped, carry["has_best"], has_best),
+        "patience_ctr": jnp.where(was_stopped, carry["patience_ctr"],
+                                  patience_ctr),
+        "stopped": jnp.where(was_stopped, carry["stopped"], stopped),
+        "stop_epoch": jnp.where(was_stopped, carry["stop_epoch"], stop_epoch),
+        "key": carry["key"],
+    }
+    hist = {
+        "train_loss": jnp.where(was_stopped, jnp.nan, train_loss),
+        "val_loss": jnp.where(was_stopped, jnp.nan, val_loss),
+        "val_rmse": jnp.where(was_stopped, jnp.nan, val_rmse),
+    }
+    if spec.record_centers:
+        hist["centers"] = new_carry["pk"]["basis"][: 2 * k].reshape(k, 2)
+    return new_carry, hist
+
+
 _EPOCH_SCAN_CACHE: Dict[Any, Any] = {}
 _JIT_CACHE: Dict[Any, Any] = {}
 
@@ -471,12 +688,23 @@ def make_epoch_scan(spec: LoopSpec, mesh=None):
     key = (spec, mesh)
     fn = _EPOCH_SCAN_CACHE.get(key)
     if fn is None:
+        ps = None
+        if spec.packed_opt:
+            from st_dadk_tpu.train.packing import pack_spec_for_model
+            ps = pack_spec_for_model(spec.model)
+
         def fit_chunk(carry, consts, data, epoch_ids, lr_chunk, active):
             chunk = epoch_ids.shape[0]
+            if ps is not None:
+                carry = _pack_carry(ps, carry)
+                run_ep = lambda c, xs: _run_epoch_packed(
+                    spec, ps, consts, data, c, xs, mesh=mesh)
+            else:
+                run_ep = lambda c, xs: _run_epoch(
+                    spec, consts, data, c, xs, mesh=mesh)
             hist_avals = jax.eval_shape(
-                lambda c: _run_epoch(
-                    spec, consts, data, c,
-                    (epoch_ids[0], lr_chunk[0], active[0]), mesh=mesh)[1],
+                lambda c: run_ep(
+                    c, (epoch_ids[0], lr_chunk[0], active[0]))[1],
                 carry)
             hist0 = jax.tree_util.tree_map(
                 lambda a: jnp.full((chunk,) + a.shape, jnp.nan, a.dtype),
@@ -492,7 +720,7 @@ def make_epoch_scan(spec: LoopSpec, mesh=None):
             def body(state):
                 c, h, it = state
                 xs = (epoch_ids[it], lr_chunk[it], active[it])
-                c2, he = _run_epoch(spec, consts, data, c, xs, mesh=mesh)
+                c2, he = run_ep(c, xs)
                 h2 = jax.tree_util.tree_map(
                     lambda buf, e: jax.lax.dynamic_update_index_in_dim(
                         buf, e.astype(buf.dtype), it, 0), h, he)
@@ -500,6 +728,8 @@ def make_epoch_scan(spec: LoopSpec, mesh=None):
 
             carry, hist, _ = jax.lax.while_loop(
                 cond, body, (carry, hist0, jnp.asarray(0, jnp.int32)))
+            if ps is not None:
+                carry = _unpack_carry(ps, carry)
             ce = spec.centers_every
             if spec.record_centers and ce > 1 and "centers" in hist:
                 assert chunk % ce == 0, \
@@ -539,24 +769,32 @@ def jitted_fit_chunk(spec: LoopSpec, vmapped: bool, lr_per_lane: bool = False,
 _PREPARE_CACHE: Dict[Any, Any] = {}
 
 
-def prepare_carry_batch(spec_model: ModelSpec, M: int):
+def prepare_carry_batch(spec_model: ModelSpec, M: int,
+                        k_pad: Optional[int] = None):
     """Cached jitted program building (carry_b, consts_b) for M lanes from
     (keys (M,), centers_b (M,k,2), bandwidths_b (M,k)) in ONE dispatch.
 
     Consolidating per-lane init_model + stacking into a single program
     matters on this setup: every distinct eager op/shape is remote-compiled
     through the TPU tunnel, so a Python loop of small per-lane inits costs
-    seconds per lane in a fresh process."""
-    from st_dadk_tpu.models.st_interp import init_model
+    seconds per lane in a fresh process.
 
-    key = (spec_model, M)
+    With `k_pad` (ragged-k stacking), `spec_model` is the lane's REAL spec:
+    params draw at real shapes — identical values to the sequential engine —
+    and are zero-padded to the shared program width (pad_lane_model)."""
+    from st_dadk_tpu.models.st_interp import init_model, pad_lane_model
+
+    key = (spec_model, M, k_pad)
     fn = _PREPARE_CACHE.get(key)
     if fn is not None:
         return fn
 
     def build(keys, centers_b, bw_b):
         def one(k, c, b):
-            return init_model(k, spec_model, c, b)
+            p, cc = init_model(k, spec_model, c, b)
+            if k_pad is not None:
+                p, cc = pad_lane_model(spec_model, k_pad, p, cc)
+            return p, cc
         params_b, consts_b = jax.vmap(one)(keys, centers_b, bw_b)
         copy = lambda t: jax.tree_util.tree_map(lambda x: x + 0, t)
         opt_state = adamw_init(params_b)

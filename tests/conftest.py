@@ -29,7 +29,59 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Fast test lane (`make test-fast` = -m "not slow"): tests measured >= ~5 s
+# on the reference dev box (single CPU core, --durations run 2026-08-17) are
+# marked slow so the inner-loop suite stays under ~3 minutes. CI and
+# `make test` still run everything.
+# ---------------------------------------------------------------------------
+_SLOW_PREFIXES = (
+    "test_analysis.py::test_analyze_grid_search",
+    "test_batch_engine.py::TestBatchEngine",
+    "test_batch_engine.py::TestMultiQuantileBatch",
+    "test_batch_engine.py::TestPerTauVmapEngine",
+    "test_batch_engine.py::TestTailCompaction",
+    "test_batch_engine.py::TestUnequalLaneCapacity",
+    "test_checkpoint.py::test_resume_bitwise_equals_uninterrupted",
+    "test_data_parallel.py::TestDataParallelFit",
+    "test_data_parallel.py::TestHybridExpDataMesh",
+    "test_forecaster.py::TestForecasterTraining",
+    "test_init_centers.py::TestCrossEngineInitEquality",
+    "test_init_centers.py::TestKActiveMasking",
+    "test_multihost_finalize.py::TestGatedFinalize",
+    "test_multiprocess_cluster.py::",
+    "test_pallas_basis.py::test_forward_parity",
+    "test_pallas_basis.py::test_gradient_parity",
+    "test_pallas_basis.py::test_triangular_gradient_parity",
+    "test_pallas_basis.py::test_zero_distance_gradient_finite",
+    "test_pallas_fused.py::",
+    "test_ragged_k.py::TestRaggedStacking::test_ragged_batch",
+    "test_ragged_k.py::TestRaggedGridSearch",
+    "test_reference_parity.py::test_forward_parity_mean",
+    "test_spatial_only.py::test_1a_end_to_end",
+    "test_sweep.py::",
+    "test_tensor_parallel.py::TestTPTrainStep",
+    "test_train_loop.py::TestDeltaPenaltyModes",
+    "test_train_loop.py::TestDropoutRng",
+    "test_train_loop.py::TestFitLearnableBasis",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: integration tests >= ~5 s; excluded by "
+        "`make test-fast` (-m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid.split("tests/")[-1]
+        if any(nid.startswith(p) for p in _SLOW_PREFIXES):
+            item.add_marker(pytest.mark.slow)
 
 if not _ON_TPU:
     # The axon sitecustomize imports jax at interpreter start, so the env
