@@ -425,27 +425,78 @@ def _prepare_job_batch(
         raise ValueError("run_job_batch: configs are not stackable "
                          "(differing model/loop hyperparameters)")
 
+    from st_dadk_tpu.parallel.multihost import (process_info,
+                                                process_lane_slice)
     from st_dadk_tpu.utils.seed import GLOBAL_NP_RNG_LOCK
 
+    # per-lane cfg normalization BEFORE any process-local split so every
+    # process derives identical global lane metadata (taus, seeds)
+    norm_todo = []
+    for cfg_i, exp_id, out_dir in todo:
+        if cfg_i.regression_type == "quantile" \
+                and cfg_i.current_quantile is None:
+            # sequential-path normalization (experiment.py): an unset
+            # tau means the first quantile level, NOT 0.5
+            cfg_i = cfg_i.replace(
+                current_quantile=float(cfg_i.quantile_levels[0]))
+        norm_todo.append((cfg_i, exp_id, out_dir))
+
+    def build_setup(cfg_i, exp_id, out_dir):
+        s = ExperimentSetup(cfg_i, exp_id, verbose=False, defer_model=True)
+        s.cfg = cfg_i
+        s.out_dir = out_dir
+        return s
+
+    pc, _ = process_info()
+    if pc == 1:
+        setups = []
+        with GLOBAL_NP_RNG_LOCK:  # mask sampling seeds the global numpy RNG
+            for job in norm_todo:
+                setups.append(build_setup(*job))
+        shapes = {(s.T, s.S) for s in setups}
+        if len(shapes) != 1:
+            raise ValueError(f"run_job_batch: dataset shapes differ: "
+                             f"{shapes}")
+        return dict(cfg=cfg, setups=setups, t_start=t_start,
+                    t_prep=time.time() - t_start)
+
+    # -- pod: per-host STREAMING setup --------------------------------------
+    # Each process synthesizes ONLY the lanes living on its own devices
+    # (masks, pointsets, inits, LR tables) — setup memory/time is
+    # independent of the global lane count. Padded tail rows owned by a
+    # process are filled from a duplicate of one of its own lanes (their
+    # content never affects results; they are never finalized).
+    mesh = experiment_mesh(cfg.mesh_axis)
+    n_dev = mesh.devices.size
+    M = len(norm_todo)
+    M_pad = M + ((-M) % n_dev)
+    sl = process_lane_slice(M_pad, mesh, cfg.mesh_axis)
+    owned_real = list(range(sl.start, min(sl.stop, M)))
+    n_pad_local = (sl.stop - sl.start) - len(owned_real)
+
     setups = []
-    with GLOBAL_NP_RNG_LOCK:      # mask sampling seeds the global numpy RNG
-        for cfg_i, exp_id, out_dir in todo:
-            if cfg_i.regression_type == "quantile" \
-                    and cfg_i.current_quantile is None:
-                # sequential-path normalization (experiment.py): an unset
-                # tau means the first quantile level, NOT 0.5
-                cfg_i = cfg_i.replace(
-                    current_quantile=float(cfg_i.quantile_levels[0]))
-            s = ExperimentSetup(cfg_i, exp_id, verbose=False,
-                                defer_model=True)
-            s.cfg = cfg_i
-            s.out_dir = out_dir
-            setups.append(s)
-    shapes = {(s.T, s.S) for s in setups}
-    if len(shapes) != 1:
-        raise ValueError(f"run_job_batch: dataset shapes differ: {shapes}")
-    return dict(cfg=cfg, setups=setups, t_start=t_start,
-                t_prep=time.time() - t_start)
+    with GLOBAL_NP_RNG_LOCK:
+        for i in owned_real:
+            setups.append(build_setup(*norm_todo[i]))
+        pad_setups = []
+        if n_pad_local:
+            if setups:
+                pad_src = setups[-1]
+            else:
+                # a process owning ONLY pad rows still needs valid lane
+                # content; lane setup is seed-self-contained so any real
+                # job's setup serves
+                pad_src = build_setup(*norm_todo[-1])
+            pad_setups = [pad_src] * n_pad_local
+    if setups:
+        shapes = {(s.T, s.S) for s in setups}
+        if len(shapes) != 1:
+            raise ValueError(f"run_job_batch: dataset shapes differ: "
+                             f"{shapes}")
+    return dict(cfg=cfg, setups=setups, pad_setups=pad_setups,
+                lane_cfgs=[j[0] for j in norm_todo], mesh=mesh,
+                M_global=M, M_pad=M_pad, owned_slice=sl, streaming=True,
+                t_start=t_start, t_prep=time.time() - t_start)
 
 
 def _train_job_batch(
@@ -473,6 +524,10 @@ def _execute_job_batch(
 ) -> Dict[str, Any]:
     """Device side of one batch: batched data-adaptive init, lane upload,
     and the chunked training loop."""
+    if prep.get("streaming"):
+        return _execute_job_batch_streaming(prep, verbose=verbose,
+                                            epochs_chunk=epochs_chunk,
+                                            mesh=mesh)
     cfg, setups = prep["cfg"], prep["setups"]
     t_start = prep["t_start"]
 
@@ -729,6 +784,186 @@ def _execute_job_batch(
                 t_setup=t_setup, t_train=t_train, verbose=verbose)
 
 
+def _execute_job_batch_streaming(
+    prep: Dict[str, Any],
+    verbose: bool = False,
+    epochs_chunk: int = 500,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, Any]:
+    """Pod (multi-process) batch execution with per-host STREAMING setup.
+
+    Every process arrives here with ONLY its own lanes synthesized
+    (_prepare_job_batch): owned real setups + duplicated pad-row setups.
+    Global batch scalars (shared batch size / batches-per-epoch / validation
+    chunking) come from one tiny allgather of per-lane counts; all device
+    inputs are assembled as global lane-sharded jax.Arrays from each
+    process's local rows (jax.make_array_from_process_local_data), so
+    per-process setup memory/time is independent of the global lane count.
+    Results are identical to the all-host-synthesis path: lanes are
+    seed-self-contained, and the compiled SPMD programs are unchanged."""
+    import dataclasses
+
+    from jax.experimental import multihost_utils
+
+    cfg = prep["cfg"]
+    setups = prep["setups"]                     # owned REAL lanes
+    local_setups = setups + prep["pad_setups"]  # rows [sl.start, sl.stop)
+    lane_cfgs = prep["lane_cfgs"]
+    M, M_pad, sl = prep["M_global"], prep["M_pad"], prep["owned_slice"]
+    t_start = prep["t_start"]
+    mesh = mesh or prep["mesh"]
+    if mesh.devices.size != prep["mesh"].devices.size:
+        raise ValueError("streaming setup computed lane ownership for a "
+                         f"{prep['mesh'].devices.size}-device mesh; caller "
+                         f"passed {mesh.devices.size} devices")
+    axis = cfg.mesh_axis
+    n_dev = mesh.devices.size
+    L = len(local_setups)
+
+    t_phase = time.time()
+    keys_local = jnp.stack([jax.random.PRNGKey(s.experiment_seed)
+                            for s in local_setups])
+    needs_coords = cfg.spatial_init_method in ("gmm", "random_site",
+                                               "kmeans_balanced",
+                                               "kmeans_exact")
+    coords_list = [s.train_ps.coords if needs_coords else None
+                   for s in local_setups]
+    spec_model = local_setups[0].spec
+
+    # -- global batch scalars from an allgather of per-lane counts ----------
+    counts_local = np.array([[s.train_ps.n_real, max(1, s.valid_ps.n_real)]
+                             for s in local_setups], np.int64)
+    gathered = np.asarray(multihost_utils.process_allgather(counts_local))
+    counts_global = gathered.reshape(M_pad, 2)[:M]   # pad rows excluded
+    batch_size = adaptive_batch_size(int(counts_global[:, 0].min()),
+                                     cfg.batch_size)
+    lane_batches = -(-counts_global[:, 0] // batch_size)
+    B_shared = int(lane_batches.max())
+    cap_tr = B_shared * batch_size
+    max_val = int(counts_global[:, 1].max())
+    val_chunk = min(max(batch_size * 16, 32768), max_val)
+    n_val_chunks = max(1, -(-max_val // val_chunk))
+    cap_va = n_val_chunks * val_chunk
+
+    datas = [prepare_train_data(s.train_ps, s.valid_ps, batch_size,
+                                val_chunk=val_chunk, cap_tr=cap_tr,
+                                cap_va=cap_va)[0] for s in local_setups]
+    data_local = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *datas)
+    carry_local, consts_local, n_params_lanes = _init_lane_carries(
+        cfg, local_setups, keys_local, coords_list)
+
+    mixed_tau = False
+    tau0 = None
+    if cfg.regression_type == "quantile":
+        taus_global = np.asarray([float(c.current_quantile)
+                                  for c in lane_cfgs], np.float32)
+        tau0 = float(taus_global[0])
+        mixed_tau = len(set(taus_global.tolist())) > 1
+        if mixed_tau:
+            taus_local = np.asarray(
+                [float(s.cfg.current_quantile) for s in local_setups],
+                np.float32)
+            consts_local = dict(consts_local, tau=jnp.asarray(taus_local))
+
+    consts_host = jax.tree_util.tree_map(np.asarray, consts_local)
+    for i, s in enumerate(setups):               # owned REAL lanes only
+        s.consts = jax.tree_util.tree_map(lambda x, i=i: x[i], consts_host)
+        s.n_params = n_params_lanes[i]
+
+    E = cfg.epochs
+    chunk = min(epochs_chunk, E)
+    spec = LoopSpec.from_config(cfg, spec_model, batch_size, B_shared,
+                                val_chunk, n_val_chunks)
+    if mixed_tau:
+        spec = dataclasses.replace(spec, current_quantile=None)
+    elif tau0 is not None:
+        spec = dataclasses.replace(spec, current_quantile=tau0)
+    if bool((lane_batches != B_shared).any()):
+        spec = dataclasses.replace(spec, uniform_lanes=False)
+    if spec.record_centers and chunk > 100:
+        chunk -= chunk % 100
+    if spec.record_centers and chunk % 100 == 0:
+        spec = dataclasses.replace(spec, centers_every=100)
+    ce = spec.centers_every
+
+    lr_tabs, lr_recorded_lanes = [], []
+    lr_cache: Dict[int, Any] = {}
+    for data in datas:
+        B_lane = int(data.n_batches)
+        if B_lane not in lr_cache:
+            lm, lb, lrec = build_lr_tables(cfg, B_lane)
+            tab = np.stack([lm, lb], -1).reshape(cfg.epochs, B_lane, 2)
+            if B_lane < B_shared:
+                tab = np.concatenate(
+                    [tab, np.repeat(tab[:, -1:], B_shared - B_lane, axis=1)],
+                    axis=1)
+            lr_cache[B_lane] = (tab, lrec)
+        tab, lrec = lr_cache[B_lane]
+        lr_tabs.append(tab)
+        lr_recorded_lanes.append(lrec)
+    lr_local = np.stack(lr_tabs)            # (L, epochs, B_shared, 2)
+
+    # -- assemble global lane-sharded arrays from the local rows ------------
+    lane_sh = NamedSharding(mesh, P(axis))
+
+    def place_local(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            lane_sh, x, (M_pad,) + tuple(x.shape[1:]))
+
+    assemble = lambda t: jax.tree_util.tree_map(place_local, t)
+    data_b = assemble(data_local)
+    carry_b = assemble(jax.tree_util.tree_map(np.asarray, carry_local))
+    consts_b = assemble(consts_host)
+    t_setup = prep["t_prep"] + (time.time() - t_phase)
+
+    fit_chunk = jitted_fit_chunk(spec, vmapped=True, lr_per_lane=True)
+
+    # -- chunked epoch loop (no tail compaction on pods) --------------------
+    hists = []
+    epochs_done = 0
+    while epochs_done < E:
+        c = min(chunk, E - epochs_done)
+        ids = np.arange(epochs_done, epochs_done + c, dtype=np.int32)
+        lr_c = np.ascontiguousarray(lr_local[:, epochs_done:epochs_done + c])
+        active = np.ones((chunk,), bool)
+        if c != chunk:
+            ids = np.concatenate([ids, np.full((chunk - c,), E - 1,
+                                               np.int32)])
+            lr_c = np.concatenate(
+                [lr_c, np.repeat(lr_c[:, -1:], chunk - c, 1)], 1)
+            active[c:] = False
+        carry_b, hist = fit_chunk(carry_b, consts_b, data_b,
+                                  jnp.asarray(ids), place_local(lr_c),
+                                  jnp.asarray(active))
+        h = {k: (v[:, :c] if not (k == "centers" and ce > 1)
+                 else v[:, : max(c // ce, 0)])
+             for k, v in hist.items()}
+        h["_lane_idx"] = None
+        hists.append(h)
+        epochs_done += c
+        if _all_lanes_stopped(carry_b["stopped"], mesh):
+            break
+
+    wall = time.time() - t_start
+    t_train = prep["t_prep"] + (time.time() - t_phase)
+    if verbose:
+        print(f"[batch p{jax.process_index()}] {len(setups)} owned of {M} "
+              f"experiments x {epochs_done} epochs in {wall:.1f}s on "
+              f"{n_dev} device(s)")
+
+    n_real = len(setups)
+    return dict(cfg=cfg, setups=setups, spec=spec, spec_model=spec_model,
+                carry_b=carry_b, consts_b=consts_b,
+                consts_host=jax.tree_util.tree_map(
+                    lambda x: x[:n_real], consts_host),
+                hists=hists, ce=ce, epochs_done=epochs_done,
+                lr_recorded_lanes=lr_recorded_lanes[:n_real],
+                M=M, M_pad=M_pad,
+                mesh=mesh, wall=wall, local_only=True,
+                t_setup=t_setup, t_train=t_train, verbose=verbose)
+
+
 _PARAM_COUNT_CACHE: Dict[Any, int] = {}
 _CONCAT_JIT_CACHE: Dict[Any, Any] = {}
 
@@ -887,8 +1122,15 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     t_phase = time.time()
 
     sl = _owned_lane_slice(state)
-    setups = state["setups"][sl]
-    lr_recorded = state["lr_recorded_lanes"][sl]
+    if state.get("local_only"):
+        # streaming pod path: setups/LR/consts were built for the owned
+        # lanes only (already restricted); `sl` still addresses the global
+        # lane rows for device-array fetches below
+        setups = state["setups"]
+        lr_recorded = state["lr_recorded_lanes"]
+    else:
+        setups = state["setups"][sl]
+        lr_recorded = state["lr_recorded_lanes"][sl]
 
     def _hist_block(h, k):
         """Owned-lane rows of one chunk's history; tail-compacted chunks
@@ -909,8 +1151,9 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
                                     for h in state["hists"]], axis=1)
                  for k in hist_keys}
     serve_host, scal_host = pull_serving_state(carry_b, lanes=sl)
-    consts_host = jax.tree_util.tree_map(lambda x: x[sl],
-                                         state["consts_host"])
+    consts_host = (state["consts_host"] if state.get("local_only")
+                   else jax.tree_util.tree_map(lambda x: x[sl],
+                                               state["consts_host"]))
 
     # -- batched evaluation: ONE vmapped dense-grid predict for all lanes ----
     # (lanes share the dataset; per-split metrics + predictions.npz payloads

@@ -250,8 +250,14 @@ class ExperimentSetup:
     """Everything a fit needs, prepared on host (masks are seed-exact with
     the reference; see module docstring)."""
 
+    # construction counter: the pod streaming-setup guarantee ("each process
+    # synthesizes only its own lanes", batch_engine._prepare_job_batch) is
+    # asserted against this in tests/mp_cluster_worker.py
+    n_constructed = 0
+
     def __init__(self, cfg: ExperimentConfig, experiment_id: int,
                  verbose: bool = False, defer_model: bool = False):
+        ExperimentSetup.n_constructed += 1
         self.experiment_id = experiment_id
         self.experiment_seed = cfg.base_seed + experiment_id - 1
         np.random.seed(self.experiment_seed)

@@ -90,6 +90,15 @@ def main():
     else:
         assert summary is None, "non-primary must not aggregate"
 
+    # streaming setup guarantee: this process synthesized ONLY its own
+    # lanes (owned real lanes + at most one pad-source), never the full
+    # M=6 stack. With 2 procs x 4 devices: p0 owns lanes 1-4, p1 owns 5-6.
+    from st_dadk_tpu.train.experiment import ExperimentSetup
+    owned = 4 if pid == 0 else 2
+    assert ExperimentSetup.n_constructed <= owned + 1, (
+        f"p{pid} built {ExperimentSetup.n_constructed} setups "
+        f"(> owned {owned} + 1): streaming setup regressed")
+
     # phase 2: one DP fit over the GLOBAL 8-device mesh
     dp_cfg = ExperimentConfig.from_dict(DP_CFG_DICT)
     dp_spec = spec_from_config(dp_cfg)
