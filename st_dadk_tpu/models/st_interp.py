@@ -220,6 +220,22 @@ def _cdtype(spec: ModelSpec):
     return jnp.bfloat16 if spec.compute_dtype == "bf16" else jnp.float32
 
 
+def _dropout_masks(spec: ModelSpec, rng: jax.Array, n: int) -> list:
+    """All layers' keep-masks from ONE generator call: the per-layer
+    bernoulli calls were three separate RNG kernels per training step; one
+    (n, sum(hidden)) draw sliced per layer is the same distribution from
+    one kernel (masks stay deterministic per seed; the stream differs from
+    the per-layer-split version, which is an implementation detail of the
+    mask source, like the rbg re-keying in train.loop)."""
+    total = int(sum(spec.hidden_dims))
+    keep_all = jax.random.bernoulli(rng, 1.0 - spec.dropout, (n, total))
+    masks, off = [], 0
+    for hdim in spec.hidden_dims:
+        masks.append(keep_all[:, off:off + hdim])
+        off += hdim
+    return masks
+
+
 def trunk(spec: ModelSpec, params: Params, features: jax.Array,
           train: bool = False, rng: Optional[jax.Array] = None) -> jax.Array:
     """Hidden MLP: Linear -> LayerNorm -> ReLU -> Dropout per layer.
@@ -229,6 +245,11 @@ def trunk(spec: ModelSpec, params: Params, features: jax.Array,
     cd = _cdtype(spec)
     mlp = params["mlp"]
     h = features.astype(cd)
+    use_dropout = train and spec.dropout > 0.0
+    if use_dropout:
+        if rng is None:
+            raise ValueError("rng required for dropout in train mode")
+        masks = _dropout_masks(spec, rng, features.shape[0])
     for i in range(len(spec.hidden_dims)):
         lin = mlp[f"linear_{i}"]
         h = h @ lin["w"].astype(cd) + lin["b"].astype(cd)
@@ -240,12 +261,8 @@ def trunk(spec: ModelSpec, params: Params, features: jax.Array,
             h = ((h32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(cd)
             h = h * ln["scale"].astype(cd) + ln["bias"].astype(cd)
         h = jax.nn.relu(h)
-        if train and spec.dropout > 0.0:
-            if rng is None:
-                raise ValueError("rng required for dropout in train mode")
-            rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1.0 - spec.dropout, h.shape)
-            h = jnp.where(keep, h / jnp.asarray(1.0 - spec.dropout, cd),
+        if use_dropout:
+            h = jnp.where(masks[i], h / jnp.asarray(1.0 - spec.dropout, cd),
                           jnp.zeros((), cd))
     return h
 
@@ -254,10 +271,15 @@ def _trunk_from_h1(spec: ModelSpec, params: Params, h1: jax.Array,
                    train: bool = False,
                    rng: Optional[jax.Array] = None) -> jax.Array:
     """Hidden MLP given the first layer's pre-norm output; mirrors `trunk`
-    exactly (same LayerNorm/ReLU/dropout structure and RNG split sequence),
+    exactly (same LayerNorm/ReLU/dropout structure and mask source),
     just skipping the first Linear."""
     mlp = params["mlp"]
     h = h1
+    use_dropout = train and spec.dropout > 0.0
+    if use_dropout:
+        if rng is None:
+            raise ValueError("rng required for dropout in train mode")
+        masks = _dropout_masks(spec, rng, h1.shape[0])
     for i in range(len(spec.hidden_dims)):
         if i > 0:
             lin = mlp[f"linear_{i}"]
@@ -269,12 +291,8 @@ def _trunk_from_h1(spec: ModelSpec, params: Params, h1: jax.Array,
             h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
             h = h * ln["scale"] + ln["bias"]
         h = jax.nn.relu(h)
-        if train and spec.dropout > 0.0:
-            if rng is None:
-                raise ValueError("rng required for dropout in train mode")
-            rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1.0 - spec.dropout, h.shape)
-            h = jnp.where(keep, h / (1.0 - spec.dropout), 0.0)
+        if use_dropout:
+            h = jnp.where(masks[i], h / (1.0 - spec.dropout), 0.0)
     return h
 
 

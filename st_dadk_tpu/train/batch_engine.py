@@ -1111,7 +1111,7 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     cross-lane summaries re-scan results.json from the shared filesystem on
     the primary process (train/runner.py)."""
     from st_dadk_tpu.parallel.multihost import fetch_lane_rows, process_info
-    from st_dadk_tpu.train.loop import (pull_serving_state,
+    from st_dadk_tpu.train.loop import (pull_serving_state, pull_tree,
                                         select_serving_device)
 
     cfg = state["cfg"]
@@ -1150,7 +1150,31 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     history_b = {k: np.concatenate([_hist_block(h, k)
                                     for h in state["hists"]], axis=1)
                  for k in hist_keys}
-    serve_host, scal_host = pull_serving_state(carry_b, lanes=sl)
+    needs_field = any(
+        getattr(s, "cfg", cfg).save_artifacts
+        or getattr(s, "cfg", cfg).save_plots
+        or getattr(s, "cfg", cfg).regression_type == "quantile"
+        for s in setups)
+    # serving params feed artifact writes, plots, the host eval path, ragged
+    # stripping, and NaN postmortems; when none of those apply the ~11 MB
+    # per-batch param transfer is pure tunnel overhead (~0.3 s per 16-lane
+    # batch) — pull only the scalar block. Post-stop history rows are NaN by
+    # design, so the poison check looks only at each lane's executed epochs.
+    _, scal_host = pull_serving_state(carry_b, lanes=sl, with_params=False)
+
+    def _any_poisoned() -> bool:
+        tl = history_b["train_loss"]
+        for li in range(tl.shape[0]):
+            n_run = (int(scal_host["stop_epoch"][li])
+                     if scal_host["stopped"][li] else epochs_done)
+            if np.isnan(tl[li, :n_run]).any():
+                return True
+        return False
+
+    pull_params = (needs_field or process_info()[0] > 1
+                   or cfg.k_spatial_pad is not None or _any_poisoned())
+    serve_host = (pull_tree(select_serving_device(carry_b)[0], sl)
+                  if pull_params else None)
     consts_host = (state["consts_host"] if state.get("local_only")
                    else jax.tree_util.tree_map(lambda x: x[sl],
                                                state["consts_host"]))
@@ -1159,11 +1183,6 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     # (lanes share the dataset; per-split metrics + predictions.npz payloads
     # all derive from the (M, T*S, Q) field — eval is deterministic, so the
     # values equal per-lane chunked prediction exactly)
-    needs_field = any(
-        getattr(s, "cfg", cfg).save_artifacts
-        or getattr(s, "cfg", cfg).save_plots
-        or getattr(s, "cfg", cfg).regression_type == "quantile"
-        for s in setups)
     precomputed_lanes = None
     try:
         if needs_field or process_info()[0] > 1:
@@ -1184,7 +1203,9 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     results = []
     per_lane_time = wall / max(M, 1)
     for li, s in enumerate(setups):
-        serve_lane = _lane(serve_host, li)
+        # serve_host is None only when nothing downstream consumes params
+        # (no artifacts/plots, device-eval metrics, no NaN lanes)
+        serve_lane = {} if serve_host is None else _lane(serve_host, li)
         lane_carry = {
             "best_ema": serve_lane, "ema": serve_lane,
             "has_best": scal_host["has_best"][li],

@@ -877,8 +877,9 @@ def pull_tree(tree_b: Params, lanes: Optional[slice] = None) -> Params:
 
 
 def pull_serving_state(carry_b: Dict[str, Any],
-                       lanes: Optional[slice] = None
-                       ) -> Tuple[Params, Dict[str, np.ndarray]]:
+                       lanes: Optional[slice] = None,
+                       with_params: bool = True
+                       ) -> Tuple[Optional[Params], Dict[str, np.ndarray]]:
     """Select each lane's serving params ON DEVICE and pull them as ONE flat
     buffer plus one scalar block.
 
@@ -887,11 +888,16 @@ def pull_serving_state(carry_b: Dict[str, Any],
     per batch through the remote-TPU tunnel vs ~0.2 s for this path
     (measured, scripts/profile_batch.py). `lanes` restricts the fetch to one
     process's lane block on multi-process meshes (scal is (4, M): lane rows
-    live on axis 1, fetched via its transpose)."""
+    live on axis 1, fetched via its transpose).
+
+    `with_params=False` pulls only the scalar block (serve is returned as
+    None): when no lane writes artifacts/plots and metrics come from the
+    all-device eval path, the ~11 MB/batch param transfer is pure overhead
+    on the tunnel (~0.3 s per 16-lane batch, measured)."""
     from st_dadk_tpu.parallel.multihost import fetch_lane_rows
 
     serve_d, scal_d = select_serving_device(carry_b)
-    serve = pull_tree(serve_d, lanes)
+    serve = pull_tree(serve_d, lanes) if with_params else None
     if lanes is None:
         scal = np.asarray(scal_d)
     elif getattr(scal_d, "is_fully_addressable", True):
