@@ -120,6 +120,14 @@ class LoopSpec:
     scan_unroll: int = 2
     # gather the epoch's minibatches once per epoch instead of per step
     pregather: bool = True
+    # epoch shuffle source: 'perm' = uniform random permutation (reference
+    # semantics, a full sort per epoch); 'none' = identity order (ABLATION
+    # ONLY — quantifies the sort's share of the epoch scan, breaks SGD
+    # shuffling semantics)
+    shuffle: str = "perm"
+    # ABLATION ONLY: skip per-epoch validation (val_loss := train proxy);
+    # breaks early-stop/best-EMA semantics, valid only for timing chunks
+    ablate_validate: bool = False
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig, model: ModelSpec,
@@ -157,6 +165,8 @@ class LoopSpec:
             packed_opt=cfg.packed_optimizer,
             scan_unroll=cfg.scan_unroll,
             pregather=bool(cfg.extra.get("pregather", True)),
+            shuffle=str(cfg.extra.get("shuffle", "perm")),
+            ablate_validate=bool(cfg.extra.get("ablate_validate", False)),
         )
 
 
@@ -336,7 +346,8 @@ def _dp_shard(spec: LoopSpec, mesh, *arrays):
 
 def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
                         n_batches_lane: jax.Array,
-                        uniform: bool = False) -> jax.Array:
+                        uniform: bool = False,
+                        shuffle: str = "perm") -> jax.Array:
     """(B, bs) shuffled point indices for one epoch.
 
     In a stacked batch a lane may have fewer real batches than the shared
@@ -350,7 +361,12 @@ def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
     `uniform=True` is the caller's static promise that B_lane == B for every
     lane; the partition (an argsort — multiple sort passes on TPU, a
     measurable fraction of a small model's step time) is skipped entirely.
+
+    `shuffle='none'` (ablation only) skips the permutation sort and returns
+    identity order — for measuring the sort's share of the epoch scan.
     """
+    if shuffle == "none":
+        return jnp.arange(B * bs, dtype=jnp.int32).reshape(B, bs) % cap
     perm = jax.random.permutation(perm_key, cap)
     if not uniform:
         cap_lane = n_batches_lane * bs
@@ -371,7 +387,8 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     key = jax.random.fold_in(carry["key"], epoch_idx)
     perm_key, drop_key = jax.random.split(key)
     batch_idx = epoch_batch_indices(perm_key, cap, bs, B, data.n_batches,
-                                    uniform=spec.uniform_lanes)
+                                    uniform=spec.uniform_lanes,
+                                    shuffle=spec.shuffle)
     if spec.dropout_rng == "rbg" and m.dropout > 0.0:
         # re-key the dropout stream into the TPU-native RBG generator: the
         # carry/permutation keys stay threefry (checkpoint format unchanged),
@@ -436,7 +453,10 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     train_loss = loss_sum / jnp.maximum(data.n_batches.astype(jnp.float32), 1.0)
     train_loss = jnp.where(nan_epoch, jnp.nan, train_loss)
 
-    val_loss, val_rmse = _validate(spec, ema, consts, data, mesh=mesh)
+    if spec.ablate_validate:
+        val_loss, val_rmse = train_loss, jnp.asarray(0.0, jnp.float32)
+    else:
+        val_loss, val_rmse = _validate(spec, ema, consts, data, mesh=mesh)
 
     improved = jnp.logical_and(jnp.isfinite(val_loss),
                                val_loss < carry["best_val"])
@@ -534,7 +554,8 @@ def _run_epoch_packed(spec: LoopSpec, ps, consts: Dict[str, Any],
     key = jax.random.fold_in(carry["key"], epoch_idx)
     perm_key, drop_key = jax.random.split(key)
     batch_idx = epoch_batch_indices(perm_key, cap, bs, B, data.n_batches,
-                                    uniform=spec.uniform_lanes)
+                                    uniform=spec.uniform_lanes,
+                                    shuffle=spec.shuffle)
     if spec.dropout_rng == "rbg" and m.dropout > 0.0:
         kd = (jax.random.key_data(drop_key)
               if jnp.issubdtype(drop_key.dtype, jax.dtypes.prng_key)
@@ -621,8 +642,11 @@ def _run_epoch_packed(spec: LoopSpec, ps, consts: Dict[str, Any],
     train_loss = loss_sum / jnp.maximum(data.n_batches.astype(jnp.float32), 1.0)
     train_loss = jnp.where(nan_epoch, jnp.nan, train_loss)
 
-    val_loss, val_rmse = _validate(spec, ps.unpack(ek), consts, data,
-                                   mesh=mesh)
+    if spec.ablate_validate:
+        val_loss, val_rmse = train_loss, jnp.asarray(0.0, jnp.float32)
+    else:
+        val_loss, val_rmse = _validate(spec, ps.unpack(ek), consts, data,
+                                       mesh=mesh)
 
     improved = jnp.logical_and(jnp.isfinite(val_loss),
                                val_loss < carry["best_val"])

@@ -98,6 +98,59 @@ class TestKmeansConstrained:
         assert inertia < 0.2 * rand_inertia
 
 
+class TestDedupTransportPath:
+    """Duplicate-site fast path: a transportation LP on unique points must
+    give the same optimal cost as the point-level auction (duplicates have
+    identical cost rows), at a fraction of the work."""
+
+    def test_matches_pointlevel_on_duplicates(self):
+        from st_dadk_tpu.ops.kmeans_exact import transport_assign
+        rng = np.random.default_rng(11)
+        sites = rng.uniform(size=(20, 2))
+        X = np.repeat(sites, 15, axis=0)            # 300 points, 20 unique
+        k = 6
+        c_fast, l_fast = kmeans_constrained(X, k, n_init=1, max_iter=10)
+        sizes = np.bincount(l_fast, minlength=k)
+        q, r = divmod(len(X), k)
+        assert sizes.min() == q and sizes.max() == q + (1 if r else 0)
+        # one assignment round at FIXED centers: the transportation plan on
+        # unique sites must equal the point-level auction's optimal cost
+        centers = rng.uniform(size=(k, 2))
+        cost = ((X[:, None] - centers[None]) ** 2).sum(-1)
+        caps = balanced_caps(len(X), k)
+        col = constrained_assignment(cost, caps)
+        point_cost = cost[np.arange(len(X)), col].sum()
+        cost_u = ((sites[:, None] - centers[None]) ** 2).sum(-1)
+        flows, _ = transport_assign(
+            cost_u, np.full(20, 15, np.int64), caps)
+        fast_cost = float((flows * cost_u).sum())
+        assert abs(fast_cost - point_cost) <= 1e-6 * max(point_cost, 1.0)
+
+    def test_transport_assign_integral_balanced(self):
+        from st_dadk_tpu.ops.kmeans_exact import transport_assign
+        rng = np.random.default_rng(12)
+        u, k = 30, 7
+        cost_u = rng.uniform(size=(u, k))
+        supplies = rng.integers(1, 9, size=u)
+        caps = balanced_caps(int(supplies.sum()), k)
+        flows, _ = transport_assign(cost_u, supplies, caps)
+        assert flows.min() >= 0
+        np.testing.assert_array_equal(flows.sum(axis=1), supplies)
+        np.testing.assert_array_equal(flows.sum(axis=0), caps)
+
+    def test_seeding_survives_degenerate_potential(self):
+        """k > n_unique: after all unique sites are chosen, remaining
+        k-means++ potentials are 0 — seeding must fall back to uniform
+        (the crash found on the Fixed_Clustered A/B, site-wise obs)."""
+        rng = np.random.default_rng(13)
+        sites = rng.uniform(size=(5, 2))
+        X = np.repeat(sites, 40, axis=0)            # 200 points, 5 unique
+        centers, labels = kmeans_constrained(X, 8, n_init=1, max_iter=5)
+        assert np.isfinite(centers).all()
+        sizes = np.bincount(labels, minlength=8)
+        assert sizes.sum() == 200 and sizes.max() <= 26
+
+
 class TestDispatcherIntegration:
     def test_init_spatial_centers_kmeans_exact(self):
         from st_dadk_tpu.ops.init_centers import init_spatial_centers
