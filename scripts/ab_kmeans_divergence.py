@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--scenarios", nargs="+",
                     default=["Fixed_Clustered", "Random_Clustered"])
     ap.add_argument("--out", default=str(REPO / "results" / "ab_kmeans_r3"))
+    ap.add_argument("--inits", nargs="+",
+                    default=["kmeans_balanced", "kmeans_exact"],
+                    help="subset of arms to (re)fit; the summary still "
+                         "aggregates every completed arm found under --out")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -65,25 +69,30 @@ def main():
             cdir = out / f"{init}_{scenario}"
             cdir.mkdir(parents=True, exist_ok=True)
             t0 = time.time()
-            print(f"\n=== {init} / {scenario} "
-                  f"({args.n_experiments} seeds) ===", flush=True)
-            run_multiple_experiments(ExperimentConfig.from_dict(cfg), cdir,
-                                     engine="vmap")
+            refit = init in args.inits
+            if refit:
+                print(f"\n=== {init} / {scenario} "
+                      f"({args.n_experiments} seeds) ===", flush=True)
+                run_multiple_experiments(ExperimentConfig.from_dict(cfg),
+                                         cdir, engine="vmap")
             results = load_all_results(cdir / "experiments",
                                        args.n_experiments)
             crps = [r["test_crps"] for r in results if "test_crps" in r]
             rmse = [r["test_rmse"] for r in results if "test_rmse" in r]
+            if not crps:
+                continue
             table[f"{init}/{scenario}"] = {
                 "n": len(crps),
                 "test_crps_mean": float(np.mean(crps)),
                 "test_crps_std": float(np.std(crps)),
                 "test_rmse_mean": float(np.mean(rmse)),
-                "wall_seconds": round(time.time() - t0, 1),
+                "wall_seconds": (round(time.time() - t0, 1) if refit
+                                 else None),
             }
             e = table[f"{init}/{scenario}"]
-            print(f"  CRPS {e['test_crps_mean']:.4f} ± "
-                  f"{e['test_crps_std']:.4f}  RMSE {e['test_rmse_mean']:.4f}"
-                  f"  ({e['wall_seconds']}s)", flush=True)
+            print(f"  {init}/{scenario}: CRPS {e['test_crps_mean']:.4f} ± "
+                  f"{e['test_crps_std']:.4f}  RMSE {e['test_rmse_mean']:.4f}",
+                  flush=True)
 
     save_json(table, out / "ab_summary.json")
     print(f"\n[OK] wrote {out / 'ab_summary.json'}")

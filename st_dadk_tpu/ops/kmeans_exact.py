@@ -18,11 +18,14 @@ not installable here, so this module provides the exact solver from scratch:
     tests/test_kmeans_exact.py);
   - KAUST coords repeat every site across T times, so points collapse to
     u << n unique locations whose balanced assignment is a (u x k)
-    TRANSPORTATION problem — solved exactly by warm-started column
-    generation over HiGHS LPs (`transport_assign`), with the reduced-cost
-    certificate guaranteeing full-problem optimality. This turns a
-    multi-minute auction per fit into ~1-3 s at 2a scale (n=8,000,
-    u<=1,000, k=121), making the strict-fidelity init usable in sweeps;
+    TRANSPORTATION problem — solved exactly by the native C++ network
+    simplex (native/transport.cpp, warm-started across Lloyd iterations
+    from the previous basis: ~0.7 s cold / ~0.08 s warm at u=803, k=81),
+    with a warm-started column-generation-over-HiGHS-LPs fallback
+    (`transport_assign`, reduced-cost optimality certificate) when the
+    native library is unavailable. This turns a multi-minute auction per
+    fit into seconds at 2a scale, making the strict-fidelity init usable
+    in sweeps;
   - k-means++ seeding, n_init restarts keeping the lowest inertia, max_iter
     Lloyd iterations (reference: random_state=42, n_init=3, max_iter=100).
 
@@ -37,6 +40,82 @@ from typing import Optional, Tuple
 import numpy as np
 
 _COST_SCALE = 1e7          # coords in [0,1]^2 -> integer costs <= 2e7
+
+# ---------------------------------------------------------------------------
+# Native network-simplex backend (native/transport.cpp)
+# ---------------------------------------------------------------------------
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_transport_lib():
+    """ctypes handle for libstdadk_transport.so, or None (LP fallback)."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+    from pathlib import Path
+    p = (Path(__file__).resolve().parent.parent.parent / "native" /
+         "libstdadk_transport.so")
+    try:
+        lib = ctypes.CDLL(str(p))
+        fn = lib.stdadk_transport_simplex
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        _NATIVE_LIB = lib
+    except OSError:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def transport_assign_native(cost_u: np.ndarray, supplies: np.ndarray,
+                            caps: np.ndarray,
+                            state: Optional[Tuple[np.ndarray, np.ndarray]]
+                            = None
+                            ) -> Optional[Tuple[np.ndarray, Tuple]]:
+    """Exact transportation plan via the native network simplex.
+
+    Returns (flows (u, k) int64, state) where `state` warm-starts the next
+    call with the SAME supplies/caps (Lloyd iterations: only costs move, so
+    the previous basis stays primal-feasible), or None if the native
+    library is unavailable or hit its pivot cap (caller falls back to the
+    exact LP path)."""
+    lib = _native_transport_lib()
+    if lib is None:
+        return None
+    u, k = cost_u.shape
+    cost_c = np.ascontiguousarray(cost_u, np.float64)
+    sup = np.ascontiguousarray(supplies, np.int64)
+    cap = np.ascontiguousarray(caps, np.int64)
+    if state is not None:
+        flow, basis = state
+        warm = 1
+    else:
+        flow = np.zeros((u, k), np.int64)
+        basis = np.zeros((u, k), np.uint8)
+        warm = 0
+    max_pivots = 200 * (u + k) + 100_000
+    status = lib.stdadk_transport_simplex(u, k, cost_c, sup, cap,
+                                          flow, basis, warm, max_pivots)
+    if status < 0 and warm:
+        # retry cold before giving up (a degenerate warm basis can stall)
+        flow[:] = 0
+        basis[:] = 0
+        status = lib.stdadk_transport_simplex(u, k, cost_c, sup, cap,
+                                              flow, basis, 0, max_pivots)
+    if status < 0:
+        return None
+    return flow, (flow, basis)
 
 
 def _pairwise_d2(X: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -166,6 +245,31 @@ def _solve_restricted(cost_u, supplies, caps, rows, cols):
     return flows, -duals[:u], -duals[u:]
 
 
+def _greedy_feasible_arcs(cost_u: np.ndarray, supplies: np.ndarray,
+                          caps: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Arc set of one feasible integral plan (greedy cheapest-fill, largest
+    supplies first). Every arc either exhausts its row or saturates its
+    column, so the set has at most u + k arcs; adding it to a restricted LP
+    guarantees feasibility regardless of supply skew."""
+    u, k = cost_u.shape
+    rem = caps.astype(np.int64).copy()
+    order_cols = np.argsort(cost_u, axis=1)
+    rows_out: list = []
+    cols_out: list = []
+    for i in np.argsort(-supplies):
+        s = int(supplies[i])
+        for j in order_cols[i]:
+            if s == 0:
+                break
+            take = min(s, int(rem[j]))
+            if take > 0:
+                rows_out.append(i)
+                cols_out.append(int(j))
+                rem[j] -= take
+                s -= take
+    return np.asarray(rows_out, np.int64), np.asarray(cols_out, np.int64)
+
+
 def transport_assign(cost_u: np.ndarray, supplies: np.ndarray,
                      caps: np.ndarray, arcs_per_row: int = 16,
                      active_init: Optional[np.ndarray] = None
@@ -195,7 +299,7 @@ def transport_assign(cost_u: np.ndarray, supplies: np.ndarray,
         out = _solve_restricted(cost_u, supplies, caps, rows, cols)
         if out is None:                      # pragma: no cover - degenerate
             raise RuntimeError("transportation LP infeasible")
-        return out[0], np.ones((u, k), bool)
+        return out[0], out[0] > 0
 
     t = min(arcs_per_row, k)
     near_cols = np.argpartition(cost_u, t - 1, axis=1)[:, :t]     # (u, t)
@@ -204,6 +308,14 @@ def transport_assign(cost_u: np.ndarray, supplies: np.ndarray,
     active = np.zeros((u, k), bool)
     active[np.repeat(np.arange(u), t), near_cols.ravel()] = True
     active[near_rows.ravel(), np.tile(np.arange(k), tc)] = True
+    # feasibility seed: a greedy integral plan's arcs make the first
+    # restricted LP feasible even under heavily skewed supplies (without
+    # this, an infeasible restriction used to trigger arc-budget doubling
+    # down to the FULL LP — and the bloated set then poisoned every later
+    # warm-started call: 224 s/solve at u=803, k=81 on the Table-4.4
+    # Random_Clustered masks)
+    gr, gc = _greedy_feasible_arcs(cost_u, supplies, caps)
+    active[gr, gc] = True
     if active_init is not None:
         active |= active_init
 
@@ -211,19 +323,22 @@ def transport_assign(cost_u: np.ndarray, supplies: np.ndarray,
     for _ in range(12):
         rows, cols = np.nonzero(active)
         out = _solve_restricted(cost_u, supplies, caps, rows, cols)
-        if out is None:
-            # restriction infeasible: widen every row's arc budget
+        if out is None:                      # pragma: no cover - safety
+            # should not happen with the greedy feasibility seed; widen
+            # every row's arc budget as a safety net
             t = min(2 * t, k)
             near_cols = np.argpartition(cost_u, t - 1, axis=1)[:, :t]
             active[np.repeat(np.arange(u), t), near_cols.ravel()] = True
-            if t == k:
-                continue                     # now the full LP; must solve
             continue
         flows, y, z = out
         reduced = cost_u - y[:, None] - z[None, :]
         violated = (reduced < -tol) & ~active
         if not violated.any():
-            return flows, active
+            # warm start for the NEXT Lloyd iteration: only the optimal
+            # support (<= u+k-1 basic arcs), NOT the whole working set —
+            # carrying the full set forward made LP size grow monotonically
+            # across iterations
+            return flows, flows > 0
         # add the most violated arcs (all of them if few)
         vi, vj = np.nonzero(violated)
         if len(vi) > 4 * u:
@@ -236,7 +351,7 @@ def transport_assign(cost_u: np.ndarray, supplies: np.ndarray,
     out = _solve_restricted(cost_u, supplies, caps, rows, cols)
     if out is None:                          # pragma: no cover - degenerate
         raise RuntimeError("transportation LP infeasible")
-    return out[0], np.ones((u, k), bool)
+    return out[0], out[0] > 0
 
 
 def kmeans_constrained(X: np.ndarray, k: int,
@@ -280,11 +395,21 @@ def kmeans_constrained(X: np.ndarray, k: int,
         prev = np.inf
         labels = None
         warm = None
+        native_state = None
+        use_native = dedup and _native_transport_lib() is not None
         for _ in range(max_iter):
             if dedup:
                 cost_u = _pairwise_d2(Xu, centers)
-                flows, warm = transport_assign(cost_u, cnt, caps,
-                                               active_init=warm)  # (u,k) int
+                if use_native:
+                    out = transport_assign_native(cost_u, cnt, caps,
+                                                  state=native_state)
+                else:
+                    out = None
+                if out is not None:
+                    flows, native_state = out
+                else:
+                    flows, warm = transport_assign(cost_u, cnt, caps,
+                                                   active_init=warm)
                 inertia = float((flows * cost_u).sum())
                 # expand: site u_i's points fill its clusters in flow order
                 bounds = np.cumsum(flows, axis=1)             # (u, k)
