@@ -138,6 +138,41 @@ class TestDedupTransportPath:
         np.testing.assert_array_equal(flows.sum(axis=1), supplies)
         np.testing.assert_array_equal(flows.sum(axis=0), caps)
 
+    def test_native_simplex_matches_lp(self):
+        """Native network simplex (native/transport.cpp): optimal cost must
+        equal the exact LP's on random instances, cold AND warm-started
+        across perturbed costs (the Lloyd-iteration usage pattern)."""
+        import pytest
+        from st_dadk_tpu.ops.kmeans_exact import (transport_assign,
+                                                  transport_assign_native)
+        rng = np.random.default_rng(13)
+        u, k = 40, 9
+        supplies = rng.integers(1, 12, size=u)
+        caps = balanced_caps(int(supplies.sum()), k)
+        cost_u = rng.uniform(size=(u, k))
+        out = transport_assign_native(cost_u, supplies, caps)
+        if out is None:
+            pytest.skip("libstdadk_transport.so not built")
+        flows, state = out
+        assert flows.min() >= 0
+        np.testing.assert_array_equal(flows.sum(axis=1), supplies)
+        np.testing.assert_array_equal(flows.sum(axis=0), caps)
+        ref_flows, _ = transport_assign(cost_u, supplies, caps)
+        np.testing.assert_allclose(float((flows * cost_u).sum()),
+                                   float((ref_flows * cost_u).sum()),
+                                   rtol=1e-9)
+        # warm starts: same supplies/caps, drifting costs (centers moving)
+        for it in range(5):
+            cost_u = np.abs(cost_u + 0.1 * rng.standard_normal((u, k)))
+            flows, state = transport_assign_native(cost_u, supplies, caps,
+                                                   state=state)
+            np.testing.assert_array_equal(flows.sum(axis=1), supplies)
+            np.testing.assert_array_equal(flows.sum(axis=0), caps)
+            ref_flows, _ = transport_assign(cost_u, supplies, caps)
+            np.testing.assert_allclose(float((flows * cost_u).sum()),
+                                       float((ref_flows * cost_u).sum()),
+                                       rtol=1e-9)
+
     def test_seeding_survives_degenerate_potential(self):
         """k > n_unique: after all unique sites are chosen, remaining
         k-means++ potentials are 0 — seeding must fall back to uniform
