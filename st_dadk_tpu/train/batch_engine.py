@@ -138,6 +138,9 @@ def _device_metrics_program(spec_model, qlevels, regression, n_chunks, n,
     return fn
 
 
+_EVAL_GRID_CACHE: Dict[Any, Any] = {}
+
+
 def _batched_eval_device(cfg, spec_model, serve_d, setups, M):
     """All-device evaluation path: nothing but (M, 3, K) metric scalars cross
     the tunnel (no dense-field pull, no host CRPS loops). Valid when no lane
@@ -153,19 +156,29 @@ def _batched_eval_device(cfg, spec_model, serve_d, setups, M):
 
     out: List[Optional[Dict[str, Any]]] = [None] * len(setups)
     chunk = 32768
-    for lanes in groups.values():
+    for key, lanes in groups.items():
         s0 = setups[lanes[0]]
         T = s0.T
-        coords_rep, t_rep = dense_grid_points(T, s0.coords)
-        n = coords_rep.shape[0]
-        n_pad = round_up(n, chunk)
+        # the dense eval grid + truth field are identical for every batch of
+        # the same dataset — cache their device copies so a long batch
+        # stream uploads them once instead of ~3 MB per batch
+        cached = _EVAL_GRID_CACHE.get((key, T))
+        if cached is None:
+            coords_rep, t_rep = dense_grid_points(T, s0.coords)
+            n = coords_rep.shape[0]
+            n_pad = round_up(n, chunk)
+            coords_p = np.zeros((n_pad, 2), np.float32)
+            coords_p[:n] = coords_rep
+            t_p = np.zeros((n_pad, 1), np.float32)
+            t_p[:n] = t_rep.reshape(n, 1)
+            z = s0.z_full.ravel().astype(np.float32)  # shared across group
+            cached = (n, n_pad, jnp.asarray(coords_p), jnp.asarray(t_p),
+                      jnp.asarray(z))
+            if len(_EVAL_GRID_CACHE) >= 4:
+                _EVAL_GRID_CACHE.clear()
+            _EVAL_GRID_CACHE[(key, T)] = cached
+        n, n_pad, coords_d, t_d, z_d = cached
         n_chunks = n_pad // chunk
-        coords_p = np.zeros((n_pad, 2), np.float32)
-        coords_p[:n] = coords_rep
-        t_p = np.zeros((n_pad, 1), np.float32)
-        t_p[:n] = t_rep.reshape(n, 1)
-
-        z = s0.z_full.ravel().astype(np.float32)   # shared across the group
         labels_b = np.stack([
             setups[li].train_mask.ravel().astype(np.int8) * 1
             + setups[li].valid_mask.ravel().astype(np.int8) * 2
@@ -181,8 +194,7 @@ def _batched_eval_device(cfg, spec_model, serve_d, setups, M):
             [float(getattr(setups[li], "cfg", cfg).current_quantile or 0.5)
              for li in lanes], np.float32)
         vals = np.asarray(fn(take(serve_params), take(consts_d),
-                             jnp.asarray(coords_p), jnp.asarray(t_p),
-                             jnp.asarray(z), jnp.asarray(labels_b),
+                             coords_d, t_d, z_d, jnp.asarray(labels_b),
                              jnp.asarray(tau_b)))
 
         for gi, li in enumerate(lanes):
@@ -457,8 +469,9 @@ def _prepare_job_batch(
         if len(shapes) != 1:
             raise ValueError(f"run_job_batch: dataset shapes differ: "
                              f"{shapes}")
-        return dict(cfg=cfg, setups=setups, t_start=t_start,
-                    t_prep=time.time() - t_start)
+        stacked = _stack_lane_host(cfg, setups)
+        return dict(cfg=cfg, setups=setups, stacked=stacked,
+                    t_start=t_start, t_prep=time.time() - t_start)
 
     # -- pod: per-host STREAMING setup --------------------------------------
     # Each process synthesizes ONLY the lanes living on its own devices
@@ -497,6 +510,57 @@ def _prepare_job_batch(
                 lane_cfgs=[j[0] for j in norm_todo], mesh=mesh,
                 M_global=M, M_pad=M_pad, owned_slice=sl, streaming=True,
                 t_start=t_start, t_prep=time.time() - t_start)
+
+
+def _stack_lane_host(cfg: ExperimentConfig, setups: List) -> Dict[str, Any]:
+    """Pure-host lane stacking: per-lane train/val buffers, the stacked
+    numpy data tree, and per-lane LR tables. No jax dispatch — callable from
+    the prepare thread so the device never idles through it (the main
+    thread used to spend ~0.15 s here between the init and fit dispatches
+    of every batch)."""
+    batch_size = adaptive_batch_size(
+        min(s.train_ps.n_real for s in setups), cfg.batch_size)
+    B_shared = max(-(-s.train_ps.n_real // batch_size) for s in setups)
+    cap_tr = B_shared * batch_size
+    max_val = max(max(1, s.valid_ps.n_real) for s in setups)
+    val_chunk = min(max(batch_size * 16, 32768), max_val)
+    n_val_chunks = max(1, -(-max_val // val_chunk))
+    cap_va = n_val_chunks * val_chunk
+
+    datas = []
+    for s in setups:
+        data, _, _ = prepare_train_data(s.train_ps, s.valid_ps, batch_size,
+                                        val_chunk=val_chunk, cap_tr=cap_tr,
+                                        cap_va=cap_va)
+        datas.append(data)
+    data_b = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *datas)
+
+    # Per-lane LR tables: warmup pacing depends on the lane's OWN batches
+    # per epoch (W = warmup_epochs * B_lane), which can differ across lanes
+    # when observation counts straddle a ceil(n/batch) boundary. Lanes with
+    # B_lane < B_shared get their surplus steps padded with the last real
+    # step's LR (those steps are masked in the loop anyway).
+    lr_tabs, lr_recorded_lanes = [], []
+    lr_cache: Dict[int, Any] = {}
+    for data in datas:
+        B_lane = int(data.n_batches)
+        if B_lane not in lr_cache:
+            lm, lb, lrec = build_lr_tables(cfg, B_lane)
+            tab = np.stack([lm, lb], -1).reshape(cfg.epochs, B_lane, 2)
+            if B_lane < B_shared:
+                tab = np.concatenate(
+                    [tab, np.repeat(tab[:, -1:], B_shared - B_lane, axis=1)],
+                    axis=1)
+            lr_cache[B_lane] = (tab, lrec)
+        tab, lrec = lr_cache[B_lane]
+        lr_tabs.append(tab)
+        lr_recorded_lanes.append(lrec)
+    lr_steps = np.stack(lr_tabs)          # (M, epochs, B_shared, 2)
+
+    return dict(batch_size=batch_size, B_shared=B_shared,
+                val_chunk=val_chunk, n_val_chunks=n_val_chunks,
+                datas=datas, data_b=data_b, lr_steps=lr_steps,
+                lr_recorded_lanes=lr_recorded_lanes)
 
 
 def _train_job_batch(
@@ -540,21 +604,14 @@ def _execute_job_batch(
                    for s in setups]
     spec_model = setups[0].spec
 
-    batch_size = adaptive_batch_size(
-        min(s.train_ps.n_real for s in setups), cfg.batch_size)
-    B_shared = max(-(-s.train_ps.n_real // batch_size) for s in setups)
-    cap_tr = B_shared * batch_size
-    max_val = max(max(1, s.valid_ps.n_real) for s in setups)
-    val_chunk = min(max(batch_size * 16, 32768), max_val)
-    n_val_chunks = max(1, -(-max_val // val_chunk))
-    cap_va = n_val_chunks * val_chunk
-
-    datas = []
-    for s in setups:
-        data, _, _ = prepare_train_data(s.train_ps, s.valid_ps, batch_size,
-                                        val_chunk=val_chunk, cap_tr=cap_tr,
-                                        cap_va=cap_va)
-        datas.append(data)
+    # host lane stacking: prebuilt on the prepare thread when this batch
+    # came through the pipelined runner, inline otherwise (direct callers)
+    stacked = prep.get("stacked") or _stack_lane_host(cfg, setups)
+    batch_size = stacked["batch_size"]
+    B_shared = stacked["B_shared"]
+    val_chunk = stacked["val_chunk"]
+    n_val_chunks = stacked["n_val_chunks"]
+    datas = stacked["datas"]
 
     # lanes stacked on host (numpy); uploaded ONCE with the lane sharding at
     # the device_put below (an eager per-leaf asarray here would upload every
@@ -562,7 +619,7 @@ def _execute_job_batch(
     # is ONE jitted program per lane k-group (see loop.prepare_carry_batch);
     # a ragged-k batch (cfg.k_spatial_pad) has one group per distinct
     # k_spatial_centers, concatenated back into lane order.
-    data_b = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *datas)
+    data_b = stacked["data_b"]
     carry_b, consts_b, n_params_lanes = _init_lane_carries(
         cfg, setups, keys, coords_list)
     t_setup = prep["t_prep"] + (time.time() - t_phase)
@@ -579,10 +636,10 @@ def _execute_job_batch(
             # DATA (consts['tau']) so every tau shares one compiled program
             consts_b = dict(consts_b, tau=jnp.asarray(taus))
 
-    consts_host = jax.tree_util.tree_map(np.asarray, consts_b)
-    for i, s in enumerate(setups):
-        s.consts = jax.tree_util.tree_map(lambda x, i=i: x[i], consts_host)
-        s.n_params = n_params_lanes[i]
+    # consts_host pull + per-setup assignment happen in _finalize_job_batch
+    # (finalize thread): pulling here blocked the main thread on the init
+    # program's completion BETWEEN the init and fit dispatches — a device
+    # idle bubble on every batch of the pipelined stream
 
     import dataclasses
     E = cfg.epochs
@@ -609,27 +666,8 @@ def _execute_job_batch(
         # slice the center trajectory to the reference's per-100-epoch
         # sampling ON DEVICE: shrinks each chunk's history transfer by ~100x
         spec = dataclasses.replace(spec, centers_every=100)
-    # Per-lane LR tables: warmup pacing depends on the lane's OWN batches
-    # per epoch (W = warmup_epochs * B_lane), which can differ across lanes
-    # when observation counts straddle a ceil(n/batch) boundary. Lanes with
-    # B_lane < B_shared get their surplus steps padded with the last real
-    # step's LR (those steps are masked in the loop anyway).
-    lr_tabs, lr_recorded_lanes = [], []
-    lr_cache: Dict[int, Any] = {}
-    for data in datas:
-        B_lane = int(data.n_batches)
-        if B_lane not in lr_cache:
-            lm, lb, lrec = build_lr_tables(cfg, B_lane)
-            tab = np.stack([lm, lb], -1).reshape(cfg.epochs, B_lane, 2)
-            if B_lane < B_shared:
-                tab = np.concatenate(
-                    [tab, np.repeat(tab[:, -1:], B_shared - B_lane, axis=1)],
-                    axis=1)
-            lr_cache[B_lane] = (tab, lrec)
-        tab, lrec = lr_cache[B_lane]
-        lr_tabs.append(tab)
-        lr_recorded_lanes.append(lrec)
-    lr_steps = np.stack(lr_tabs)          # (M, epochs, B_shared, 2)
+    lr_steps = stacked["lr_steps"]        # (M, epochs, B_shared, 2)
+    lr_recorded_lanes = stacked["lr_recorded_lanes"]
 
     # -- shard the experiment axis over the mesh ------------------------------
     mesh = mesh or experiment_mesh(cfg.mesh_axis)
@@ -777,7 +815,8 @@ def _execute_job_batch(
               f"(setup {t_setup:.1f}s, train {t_train - t_setup:.1f}s)")
 
     return dict(cfg=cfg, setups=setups, spec=spec, spec_model=spec_model,
-                carry_b=carry_b, consts_b=consts_b, consts_host=consts_host,
+                carry_b=carry_b, consts_b=consts_b, consts_host=None,
+                n_params_lanes=n_params_lanes,
                 hists=hists, ce=ce, epochs_done=epochs_done,
                 lr_recorded_lanes=lr_recorded_lanes, M=M, M_pad=M + pad_lanes,
                 mesh=mesh, wall=wall,
@@ -1175,6 +1214,15 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
                    or cfg.k_spatial_pad is not None or _any_poisoned())
     serve_host = (pull_tree(select_serving_device(carry_b)[0], sl)
                   if pull_params else None)
+    if state.get("consts_host") is None:
+        # deferred from _execute_job_batch: the pull now rides the finalize
+        # thread (overlapped with the next batch's training) instead of
+        # blocking the main thread between the init and fit dispatches
+        state["consts_host"] = jax.tree_util.tree_map(np.asarray, consts_b)
+        for i, s in enumerate(state["setups"]):
+            s.consts = jax.tree_util.tree_map(
+                lambda x, i=i: x[i], state["consts_host"])
+            s.n_params = state["n_params_lanes"][i]
     consts_host = (state["consts_host"] if state.get("local_only")
                    else jax.tree_util.tree_map(lambda x: x[sl],
                                                state["consts_host"]))

@@ -120,11 +120,19 @@ class LoopSpec:
     scan_unroll: int = 2
     # gather the epoch's minibatches once per epoch instead of per step
     pregather: bool = True
-    # epoch shuffle source: 'perm' = uniform random permutation (reference
-    # semantics, a full sort per epoch); 'none' = identity order (ABLATION
-    # ONLY — quantifies the sort's share of the epoch scan, breaks SGD
-    # shuffling semantics)
-    shuffle: str = "perm"
+    # epoch shuffle source:
+    #   'auto' (default) = 'hash' when the stacked capacity is a power of
+    #       two and lanes are uniform, else 'perm';
+    #   'hash' = keyed multiply-xorshift bijection on [0, cap) — an exact
+    #       permutation computed with a handful of VPU integer ops instead
+    #       of the full per-epoch SORT, which measured ~half of the entire
+    #       epoch scan (shuffle-off ablation: 521 vs 1055 ms/100 epochs,
+    #       docs/BENCHMARKS.md round 3). A different (pseudorandom) order
+    #       than 'perm', so per-epoch batch composition — like the torch
+    #       DataLoader's — matches the reference statistically, not bitwise;
+    #   'perm' = uniform random permutation via sort (round-1/2 behavior);
+    #   'none' = identity order (ABLATION ONLY — breaks SGD shuffling).
+    shuffle: str = "auto"
     # ABLATION ONLY: skip per-epoch validation (val_loss := train proxy);
     # breaks early-stop/best-EMA semantics, valid only for timing chunks
     ablate_validate: bool = False
@@ -165,7 +173,7 @@ class LoopSpec:
             packed_opt=cfg.packed_optimizer,
             scan_unroll=cfg.scan_unroll,
             pregather=bool(cfg.extra.get("pregather", True)),
-            shuffle=str(cfg.extra.get("shuffle", "perm")),
+            shuffle=str(cfg.extra.get("shuffle", "auto")),
             ablate_validate=bool(cfg.extra.get("ablate_validate", False)),
         )
 
@@ -362,16 +370,49 @@ def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
     lane; the partition (an argsort — multiple sort passes on TPU, a
     measurable fraction of a small model's step time) is skipped entirely.
 
-    `shuffle='none'` (ablation only) skips the permutation sort and returns
-    identity order — for measuring the sort's share of the epoch scan.
+    `shuffle='hash'`/'auto' replaces the sort-based permutation with a keyed
+    multiply-xorshift bijection (see `hash_permutation`) when cap is a power
+    of two and lanes are uniform; `shuffle='none'` (ablation only) skips
+    shuffling entirely — for measuring the sort's share of the epoch scan.
     """
     if shuffle == "none":
         return jnp.arange(B * bs, dtype=jnp.int32).reshape(B, bs) % cap
+    if shuffle in ("auto", "hash") and uniform and (cap & (cap - 1)) == 0:
+        perm = hash_permutation(perm_key, cap)
+        return perm[: B * bs].reshape(B, bs)
     perm = jax.random.permutation(perm_key, cap)
     if not uniform:
         cap_lane = n_batches_lane * bs
         perm = perm[jnp.argsort(perm >= cap_lane, stable=True)]
     return perm[: B * bs].reshape(B, bs)
+
+
+def hash_permutation(key: jax.Array, cap: int) -> jax.Array:
+    """Keyed exact permutation of [0, cap) for power-of-two cap, sort-free.
+
+    Three rounds of (odd-multiply mod 2^w, xorshift-right) with per-epoch
+    random odd multipliers. Each step is invertible on w-bit integers
+    (odd numbers are units mod 2^w; xorshift-right is upper-triangular
+    unipotent over GF(2)), so the composition is a bijection — an exact
+    permutation computed with ~10 elementwise VPU integer ops instead of the
+    O(cap log^2 cap) compare-exchange sort `jax.random.permutation` lowers
+    to on TPU. uint32 products wrap mod 2^32, and since 2^w divides 2^32 the
+    wrapped product is still correct mod 2^w.
+
+    The reference shuffles with torch's DataLoader (an unrelated PRNG), so
+    batch-composition parity is statistical either way; end metrics measured
+    inside the reference band (docs/BENCHMARKS.md round 3)."""
+    w = int(cap).bit_length() - 1
+    mask = jnp.uint32(cap - 1)
+    r = jax.random.randint(key, (4,), 0, cap, dtype=jnp.int32).astype(
+        jnp.uint32)
+    s1, s2 = max(1, w // 2), max(1, w // 3)
+    x = jnp.arange(cap, dtype=jnp.uint32)
+    x = x ^ (r[3] & mask)
+    for i in range(3):
+        x = (x * (2 * r[i] + 1)) & mask
+        x = x ^ (x >> s1 if i % 2 == 0 else x >> s2)
+    return x.astype(jnp.int32)
 
 
 def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,

@@ -248,3 +248,52 @@ class TestDropoutRng:
                             seed=7, epochs_chunk=5))
         np.testing.assert_array_equal(outs[0].history["train_loss"],
                                       outs[1].history["train_loss"])
+
+
+class TestHashShuffle:
+    """shuffle='hash'/'auto': sort-free keyed bijection (loop.hash_permutation)."""
+
+    def test_bijection_across_caps_and_seeds(self):
+        from st_dadk_tpu.train.loop import hash_permutation
+        for cap in (2, 16, 4096, 8192, 131072):
+            for seed in (0, 1, 2025):
+                p = np.asarray(hash_permutation(jax.random.PRNGKey(seed), cap))
+                assert np.array_equal(np.sort(p), np.arange(cap)), (cap, seed)
+
+    def test_orders_differ_across_epoch_keys(self):
+        from st_dadk_tpu.train.loop import hash_permutation
+        a = np.asarray(hash_permutation(jax.random.PRNGKey(0), 8192))
+        b = np.asarray(hash_permutation(jax.random.PRNGKey(1), 8192))
+        assert not np.array_equal(a, b)
+        # overlap of the first half across keys ~ uniform expectation (0.5)
+        ov = len(set(a[:4096].tolist()) & set(b[:4096].tolist())) / 4096
+        assert 0.35 < ov < 0.65
+
+    def test_auto_routes_pow2_uniform_to_hash(self):
+        import jax.numpy as jnp
+        from st_dadk_tpu.train.loop import (epoch_batch_indices,
+                                            hash_permutation)
+        key, cap, bs, B = jax.random.PRNGKey(3), 8192, 4096, 2
+        idx = np.asarray(epoch_batch_indices(key, cap, bs, B,
+                                             jnp.asarray(B), uniform=True,
+                                             shuffle="auto"))
+        expect = np.asarray(hash_permutation(key, cap)).reshape(B, bs)
+        assert np.array_equal(idx, expect)
+        # non-pow2 cap falls back to the sort permutation (still exact cover)
+        cap2, bs2, B2 = 96, 32, 3
+        idx2 = np.asarray(epoch_batch_indices(jax.random.PRNGKey(4), cap2,
+                                              bs2, B2, jnp.asarray(B2),
+                                              uniform=True, shuffle="auto"))
+        assert set(idx2.ravel().tolist()) == set(range(cap2))
+
+    def test_nonuniform_lanes_keep_partition_semantics(self):
+        """auto with non-uniform lanes uses the partitioned sort path: a
+        lane with fewer real batches still sees all its own capacity."""
+        import jax.numpy as jnp
+        from st_dadk_tpu.train.loop import epoch_batch_indices
+        bs, B, B_lane = 32, 5, 3
+        cap = B * bs
+        idx = np.asarray(epoch_batch_indices(jax.random.PRNGKey(5), cap, bs,
+                                             B, jnp.asarray(B_lane),
+                                             uniform=False, shuffle="auto"))
+        assert set(idx[:B_lane].ravel().tolist()) == set(range(B_lane * bs))
