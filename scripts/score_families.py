@@ -116,10 +116,36 @@ def score(preds: np.ndarray, y_true: np.ndarray, qlevels) -> dict:
     return out
 
 
-def iter_jobs(families, data_dir: Path):
-    """Yield (name, mode, train_csv, test_csv, sol_col) per fit."""
+def iter_jobs(families, data_dir: Path, synth_dir: Path = None):
+    """Yield (name, mode, train_csv, test_csv, sol_col) per fit.
+
+    With synth_dir set, families whose train files the snapshot withholds
+    (1b, 3b) additionally yield mode='synth' jobs at the TRUE competition
+    scale: train on the reconstructed `<synth_dir>/<fam>/<fam>_<i>.csv`
+    (scripts/synthesize_1b3b.py — covariance fitted to the real solutions
+    field, GRF sampled at n_train synthetic sites AND the official test
+    sites), score at the official test coordinates against the SAME
+    realization's values there (`_synthsol.csv`). Exercises the b-families
+    at 900k/450k train points; real-field accuracy stays with splitsol."""
     for fam in families:
         fam_dir = data_dir / fam
+        if synth_dir is not None:
+            sdir = synth_dir / fam
+            for train_csv in sorted(sdir.glob(f"{fam}_*.csv")):
+                stem = train_csv.stem
+                if not stem.split("_")[-1].isdigit():
+                    continue
+                i = int(stem.split("_")[-1])
+                ssol = sdir / f"{fam}_{i}_synthsol.csv"
+                test_csv = fam_dir / f"{fam}_{i}_test.csv"
+                if not (ssol.exists() and test_csv.exists()):
+                    continue
+                fields = ("z1", "z2") if fam in ("3a", "3b") else ("z",)
+                for f in fields:
+                    name = f"{fam}_{i}" + (f".{f}" if len(fields) > 1 else "")
+                    yield dict(name=name + "@synth", fam=fam, mode="synth",
+                               field=f, train_csv=train_csv,
+                               test_csv=test_csv, sol_path=ssol, sol_col=f)
         sol_path = fam_dir / f"{fam}-solutions.csv"
         if not sol_path.exists():
             print(f"[WARN] {fam}: no solutions file; skipping "
@@ -154,7 +180,7 @@ def run_job(job, cfg: ExperimentConfig, seed: int, holdout: float):
     def t_norm(tvals, t_max):
         return (np.asarray(tvals, np.float64) - 1.0) / max(t_max - 1.0, 1.0)
 
-    if job["mode"] == "train":
+    if job["mode"] in ("train", "synth"):
         tr = _clean(pd.read_csv(job["train_csv"]))
         zcol = job["field"] if job["field"] in tr.columns else "z"
         t_max = float(max(tr["t"].max(), test["t"].max())) if has_t else 1.0
@@ -193,6 +219,9 @@ def main():
     ap.add_argument("--holdout", type=float, default=0.1)
     ap.add_argument("--only", nargs="*", default=None,
                     help="restrict to dataset names, e.g. 2a_8 3a_1.z2")
+    ap.add_argument("--synth_data", default=None,
+                    help="repo data/ tree with synthesize_1b3b.py output; "
+                         "adds true-scale mode='synth' jobs for 1b/3b")
     ap.add_argument("--out", default=str(REPO / "results" /
                                          "family_scores_r3"))
     args = ap.parse_args()
@@ -205,7 +234,8 @@ def main():
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     rows = []
-    for job in iter_jobs(args.families, Path(args.data_dir)):
+    synth_dir = Path(args.synth_data) if args.synth_data else None
+    for job in iter_jobs(args.families, Path(args.data_dir), synth_dir):
         if args.only and job["name"] not in args.only:
             continue
         t0 = time.time()

@@ -125,11 +125,13 @@ class LoopSpec:
     #       two and lanes are uniform, else 'perm';
     #   'hash' = keyed multiply-xorshift bijection on [0, cap) — an exact
     #       permutation computed with a handful of VPU integer ops instead
-    #       of the full per-epoch SORT, which measured ~half of the entire
-    #       epoch scan (shuffle-off ablation: 521 vs 1055 ms/100 epochs,
-    #       docs/BENCHMARKS.md round 3). A different (pseudorandom) order
-    #       than 'perm', so per-epoch batch composition — like the torch
-    #       DataLoader's — matches the reference statistically, not bitwise;
+    #       of the per-epoch SORT (compiled epoch HLO drops both sort ops
+    #       and shrinks ~2x; measured +6% end-to-end fits/hour, the sort's
+    #       true share — the earlier shuffle-off ablation's 2x scan delta
+    #       also elided the pregather, overstating it). A different
+    #       (pseudorandom) order than 'perm', so per-epoch batch
+    #       composition — like the torch DataLoader's — matches the
+    #       reference statistically, not bitwise;
     #   'perm' = uniform random permutation via sort (round-1/2 behavior);
     #   'none' = identity order (ABLATION ONLY — breaks SGD shuffling).
     shuffle: str = "auto"
@@ -445,8 +447,15 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     # its batch sharding constraint applies where it did before.
     pregather = spec.pregather and spec.dp_axis is None
     if pregather:
-        xs_all = (data.tr_coords[batch_idx], data.tr_t[batch_idx],
-                  data.tr_y[batch_idx], data.tr_w[batch_idx], lr_epoch,
+        # pack the four point arrays into ONE (cap, 5) row before the
+        # shuffled gather: TPU row gathers are DMA-descriptor-bound at these
+        # row widths (2/1/1/1 f32), so one width-5 gather beats four narrow
+        # ones; the pack itself is a ~160 KB concat, free at epoch scale
+        packed = jnp.concatenate(
+            [data.tr_coords, data.tr_t, data.tr_y, data.tr_w[:, None]],
+            axis=1)[batch_idx]                      # (B, bs, 5)
+        xs_all = (packed[..., 0:2], packed[..., 2:3], packed[..., 3:4],
+                  packed[..., 4], lr_epoch,
                   jnp.arange(B, dtype=jnp.int32))
     else:
         xs_all = (batch_idx, lr_epoch, jnp.arange(B, dtype=jnp.int32))
