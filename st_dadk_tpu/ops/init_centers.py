@@ -394,13 +394,33 @@ def _batched_bkm_multi(ks: Tuple[int, ...], weighted: bool):
     return fn
 
 
+def _nn_bandwidths_jnp(centers_b: jax.Array, k: int, n_neighbors: int = 4,
+                       scale: float = 2.5) -> jax.Array:
+    """Vectorized `_nn_bandwidths` over a lane axis, on device.
+
+    centers_b (M, k, 2) -> (M, k). Same math (incl. the 0.25x uniform-bw
+    floor); keeping it on device lets the batched init return device arrays
+    with no host round trip."""
+    if k == 1:
+        return jnp.full((centers_b.shape[0], 1), scale, jnp.float32)
+    diff = centers_b[:, :, None, :] - centers_b[:, None, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, -1))
+    dist = dist + jnp.eye(k, dtype=dist.dtype)[None] * jnp.inf
+    nn = min(n_neighbors, k - 1)
+    nearest = -jax.lax.top_k(-dist, nn)[0]            # (M, k, nn) smallest
+    bw = nearest.mean(axis=-1) * scale
+    floor = 0.25 * scale / max(np.sqrt(k) - 1.0, 1.0)
+    return jnp.maximum(bw, floor).astype(jnp.float32)
+
+
 def init_spatial_centers_batch(
     method: str,
     n_centers: Sequence[int],
     train_coords_list: list,
     keys: jax.Array,
     rng_states: Optional[list] = None,
-) -> list:
+    device_out: bool = False,
+):
     """Data-adaptive initialization for a whole experiment batch at once.
 
     One vmapped device program for all resolutions instead of 3 dispatches
@@ -412,13 +432,23 @@ def init_spatial_centers_batch(
     sizes differ are zero-weight padded to a common shape (the weighted
     EM/Sinkhorn paths ignore padding exactly).
 
-    Returns a list of (centers, bandwidths) numpy pairs, one per lane.
+    Returns a list of (centers, bandwidths) numpy pairs, one per lane — or,
+    with `device_out=True`, ONE device pair (centers_b (M, K, 2), bw_b
+    (M, K)) with the resolutions already concatenated: the consumer
+    (prepare_carry_batch) runs on device, so pulling centers to host only to
+    re-upload them cost several tunnel round trips per batch for nothing.
     """
     from st_dadk_tpu.utils.seed import GLOBAL_NP_RNG_LOCK
+
+    def _stack_device(pairs):
+        return (jnp.asarray(np.stack([c for c, _ in pairs])),
+                jnp.asarray(np.stack([b for _, b in pairs])))
 
     M = len(train_coords_list)
     if method == "uniform":
         c, bw = uniform_grid_centers(n_centers)
+        if device_out:
+            return _stack_device([(c, bw)] * M)
         return [(c, bw)] * M
     if method in ("random_site", "kmeans_exact"):
         # host-side paths; replay each lane's sequential stream (global-RNG
@@ -433,6 +463,8 @@ def init_spatial_centers_batch(
                         jax.random.key_data(keys[i])).ravel()[-1]) % (2 ** 31))
                 out.append(init_spatial_centers(method, n_centers, tc,
                                                 key=keys[i]))
+        if device_out:
+            return _stack_device(out)
         return out
 
     Xs = []
@@ -465,6 +497,33 @@ def init_spatial_centers_batch(
 
     per_lane = [[] for _ in range(M)]
     ks = tuple(int(k) for k in n_centers)
+    if device_out:
+        # assemble (M, K, 2) / (M, K) entirely on device — bandwidth math is
+        # a handful of elementwise ops (gmm) or a (k x k) top-k (balanced)
+        cparts, bparts = [], []
+        if method == "gmm":
+            for k, (means_b, sig_b) in zip(
+                    ks, _batched_gmm_multi(ks, w_b is not None)(keys, X_b,
+                                                                w_b)):
+                bw_min = 0.25 * uniform_bandwidth_for(k)
+                cparts.append(means_b)
+                bparts.append(jnp.maximum(4.23 * 2.5 * sig_b, bw_min
+                                          ).astype(jnp.float32))
+        elif method == "kmeans_balanced":
+            for k, centers_b in zip(
+                    ks, _batched_bkm_multi(ks, w_b is not None)(keys, X_b,
+                                                                w_b)):
+                cparts.append(centers_b)
+                if k == 1:
+                    bparts.append(jnp.full(
+                        (M, 1), uniform_bandwidth_for(int(n_centers[0])),
+                        jnp.float32))
+                else:
+                    bparts.append(_nn_bandwidths_jnp(centers_b, k))
+        else:
+            raise ValueError(f"Unknown init_method: {method}")
+        return (jnp.concatenate(cparts, axis=1),
+                jnp.concatenate(bparts, axis=1))
     if method == "gmm":
         results = _batched_gmm_multi(ks, w_b is not None)(keys, X_b, w_b)
         for k, (means_b, sig_b) in zip(ks, results):

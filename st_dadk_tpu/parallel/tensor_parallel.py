@@ -349,9 +349,13 @@ def make_tp_epoch(spec: ModelSpec, mesh: Mesh, loop_spec, axis: str = "tp"):
         ekey = jax.random.fold_in(key, epoch_idx)
         perm_key, drop_key = jax.random.split(ekey)
         cap = tr["coords"].shape[0]
+        # same shuffle source as the replicated loop (spec.shuffle='auto'
+        # selects the sort-free hash permutation on pow2 caps) so fit_tp
+        # walks the same batch sequence as fit for the same key chain
         batch_idx = epoch_batch_indices(perm_key, cap, bs, B,
                                         jnp.asarray(B, jnp.int32),
-                                        uniform=True)
+                                        uniform=True,
+                                        shuffle=loop_spec.shuffle)
 
         k_loc = params["mlp"]["w0_spatial"].shape[0]
         rows = jax.lax.axis_index(axis) * k_loc + jnp.arange(k_loc)

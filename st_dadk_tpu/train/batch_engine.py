@@ -470,6 +470,14 @@ def _prepare_job_batch(
             raise ValueError(f"run_job_batch: dataset shapes differ: "
                              f"{shapes}")
         stacked = _stack_lane_host(cfg, setups)
+        # NOTE: the data-adaptive init (device programs + any host RNG
+        # replay) deliberately stays on the MAIN thread (_execute_job_batch):
+        # dispatching device work and transfers concurrently from the
+        # prepare thread hung the tunnel backend roughly once per ~50
+        # batches. The init's former main-thread stall was instead removed
+        # by keeping its outputs on device (init_spatial_centers_batch
+        # device_out) — no center/bandwidth pulls to overlap in the first
+        # place.
         return dict(cfg=cfg, setups=setups, stacked=stacked,
                     t_start=t_start, t_prep=time.time() - t_start)
 
@@ -510,6 +518,16 @@ def _prepare_job_batch(
                 lane_cfgs=[j[0] for j in norm_todo], mesh=mesh,
                 M_global=M, M_pad=M_pad, owned_slice=sl, streaming=True,
                 t_start=t_start, t_prep=time.time() - t_start)
+
+
+def _lane_keys(setups: List):
+    return jnp.stack([jax.random.PRNGKey(s.experiment_seed) for s in setups])
+
+
+def _lane_coords(cfg: ExperimentConfig, setups: List) -> List:
+    needs = cfg.spatial_init_method in ("gmm", "random_site",
+                                        "kmeans_balanced", "kmeans_exact")
+    return [s.train_ps.coords if needs else None for s in setups]
 
 
 def _stack_lane_host(cfg: ExperimentConfig, setups: List) -> Dict[str, Any]:
@@ -596,12 +614,6 @@ def _execute_job_batch(
     t_start = prep["t_start"]
 
     t_phase = time.time()
-    keys = jnp.stack([jax.random.PRNGKey(s.experiment_seed) for s in setups])
-    needs_coords = cfg.spatial_init_method in ("gmm", "random_site",
-                                               "kmeans_balanced",
-                                               "kmeans_exact")
-    coords_list = [s.train_ps.coords if needs_coords else None
-                   for s in setups]
     spec_model = setups[0].spec
 
     # host lane stacking: prebuilt on the prepare thread when this batch
@@ -620,8 +632,10 @@ def _execute_job_batch(
     # a ragged-k batch (cfg.k_spatial_pad) has one group per distinct
     # k_spatial_centers, concatenated back into lane order.
     data_b = stacked["data_b"]
-    carry_b, consts_b, n_params_lanes = _init_lane_carries(
-        cfg, setups, keys, coords_list)
+    carry_b, consts_b, n_params_lanes = (
+        prep.get("init")
+        or _init_lane_carries(cfg, setups, _lane_keys(setups),
+                              _lane_coords(cfg, setups)))
     t_setup = prep["t_prep"] + (time.time() - t_phase)
     mixed_tau = False
     tau0 = None
@@ -1066,12 +1080,11 @@ def _init_lane_carries(cfg: ExperimentConfig, setups: List, keys,
     n_params_lanes = [0] * M
     for klist, idx in groups.items():
         idx_np = np.asarray(idx)
-        inits = init_spatial_centers_batch(
+        centers_g, bw_g = init_spatial_centers_batch(
             cfg.spatial_init_method, list(klist),
             [coords_list[i] for i in idx], keys[idx_np],
-            rng_states=[setups[i].np_rng_state for i in idx])
-        centers_g = jnp.asarray(np.stack([c for c, _ in inits]))
-        bw_g = jnp.asarray(np.stack([b for _, b in inits]))
+            rng_states=[setups[i].np_rng_state for i in idx],
+            device_out=True)
         spec_real = dataclasses.replace(
             setups[idx[0]].spec, k_spatial_centers=tuple(klist))
         carry_g, consts_g = prepare_carry_batch(
