@@ -210,7 +210,7 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
     """Bucket configs by stacking key + dataset shape; one vmapped job batch
     per bucket; then per-config aggregation preserving the filesystem
     contract."""
-    from st_dadk_tpu.train.batch_engine import run_job_batch, stacking_key
+    from st_dadk_tpu.train.batch_engine import run_lane_jobs, stacking_key
     from st_dadk_tpu.train.experiment import _load_cached
     from st_dadk_tpu.train.runner import aggregate_results, load_all_results
 
@@ -264,7 +264,10 @@ def _run_grid_stacked(configs: List[Dict[str, Any]], output_dir: Path,
               f"{cfg_objs[members[0]].n_experiments} repeats = "
               f"{len(jobs)} lanes")
         try:
-            run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose)
+            # width-split stream: buckets wider than the measured sweet spot
+            # (LANES_PER_DEVICE x mesh devices) pipeline as several batches
+            run_lane_jobs(jobs, cfg_objs[members[0]],
+                          skip_existing=skip_existing, verbose=verbose)
         except Exception as e:
             import traceback
             traceback.print_exc()

@@ -244,14 +244,15 @@ def run_experiment_batch(
     experiments_dir = Path(experiments_dir)
     if is_per_tau(cfg):
         jobs = expand_per_tau_jobs(cfg, exp_ids, experiments_dir)
-        run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose,
-                      epochs_chunk=epochs_chunk, mesh=mesh)
+        run_lane_jobs(jobs, cfg, skip_existing=skip_existing,
+                      verbose=verbose, epochs_chunk=epochs_chunk, mesh=mesh)
         return aggregate_per_tau(cfg, exp_ids, experiments_dir,
                                  skip_existing=skip_existing,
                                  verbose=verbose)
     jobs = [(cfg, i, experiments_dir / str(i)) for i in exp_ids]
-    return run_job_batch(jobs, skip_existing=skip_existing, verbose=verbose,
-                         epochs_chunk=epochs_chunk, mesh=mesh)
+    return run_lane_jobs(jobs, cfg, skip_existing=skip_existing,
+                         verbose=verbose, epochs_chunk=epochs_chunk,
+                         mesh=mesh)
 
 
 def is_per_tau(cfg: ExperimentConfig) -> bool:
@@ -331,12 +332,49 @@ def stacking_key(cfg: ExperimentConfig):
         for k, v in d.items() if k not in skip))
 
 
+# Measured single-chip throughput peaks at 16 lanes/device and DEGRADES
+# wider (the per-epoch scan scales ~2.4x per 2x lanes past 16 — HBM
+# pressure; docs/BENCHMARKS.md "lane-width sweet spot"), so wide workloads
+# run fastest as a pipelined STREAM of 16-lane batches. Override per config
+# with cfg.extra['lanes_per_device'].
+LANES_PER_DEVICE = 16
+
+
+def run_lane_jobs(
+    jobs: List,
+    cfg: ExperimentConfig,
+    skip_existing: bool = False,
+    verbose: bool = False,
+    epochs_chunk: int = 500,
+    mesh: Optional[Mesh] = None,
+) -> List[Dict[str, Any]]:
+    """Run a lane-job list at the measured throughput-optimal width.
+
+    At most LANES_PER_DEVICE lanes per mesh device run per batch; wider
+    lists become a pipelined run_job_batches stream whose TAIL batch is
+    padded back up to the common width (lane_width) so it reuses the same
+    compiled program instead of paying a fresh multi-minute tunnel compile
+    for its ragged shape."""
+    mesh_l = mesh or experiment_mesh(cfg.mesh_axis)
+    width = (int(cfg.extra.get("lanes_per_device", LANES_PER_DEVICE))
+             * mesh_l.devices.size)
+    if len(jobs) <= width:
+        return run_job_batch(jobs, skip_existing=skip_existing,
+                             verbose=verbose, epochs_chunk=epochs_chunk,
+                             mesh=mesh)
+    batches = [jobs[i:i + width] for i in range(0, len(jobs), width)]
+    return run_job_batches(batches, skip_existing=skip_existing,
+                           verbose=verbose, epochs_chunk=epochs_chunk,
+                           mesh=mesh, lane_width=width)
+
+
 def run_job_batch(
     jobs: List,
     skip_existing: bool = False,
     verbose: bool = False,
     epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
+    lane_width: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Run heterogeneous (cfg, experiment_id, output_dir) jobs as ONE vmapped
     program. All cfgs must share a `stacking_key` (identical model/loop
@@ -346,7 +384,7 @@ def run_job_batch(
     serially (SURVEY.md section 2.4 row 2)."""
     state = _train_job_batch(jobs, skip_existing=skip_existing,
                              verbose=verbose, epochs_chunk=epochs_chunk,
-                             mesh=mesh)
+                             mesh=mesh, lane_width=lane_width)
     return _finalize_job_batch(state) if state else []
 
 
@@ -356,6 +394,7 @@ def run_job_batches(
     verbose: bool = False,
     epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
+    lane_width: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Pipelined stream of job batches. While batch k trains on device:
       - batch k+1's host preparation (seed-exact masks, stacking, LR tables)
@@ -380,7 +419,8 @@ def run_job_batches(
         for jobs in batches:
             results.extend(run_job_batch(jobs, skip_existing=skip_existing,
                                          verbose=verbose,
-                                         epochs_chunk=epochs_chunk, mesh=mesh))
+                                         epochs_chunk=epochs_chunk, mesh=mesh,
+                                         lane_width=lane_width))
         return results
 
     results: List[Dict[str, Any]] = []
@@ -401,7 +441,8 @@ def run_job_batches(
             prep = prep_fut.result()
             prep_fut = submit_next_prepare()   # overlaps this batch's training
             state = (_execute_job_batch(prep, verbose=verbose,
-                                        epochs_chunk=epochs_chunk, mesh=mesh)
+                                        epochs_chunk=epochs_chunk, mesh=mesh,
+                                        lane_width=lane_width)
                      if prep is not None else [])
             if fin_fut is not None:
                 results.extend(fin_fut.result())
@@ -587,6 +628,7 @@ def _train_job_batch(
     verbose: bool = False,
     epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
+    lane_width: Optional[int] = None,
 ) -> Optional[Dict[str, Any]]:
     """Setup + batched init + the chunked training loop. Returns the state
     `_finalize_job_batch` needs; result pulls happen there so a caller can
@@ -595,7 +637,8 @@ def _train_job_batch(
     if prep is None:
         return []
     return _execute_job_batch(prep, verbose=verbose,
-                              epochs_chunk=epochs_chunk, mesh=mesh)
+                              epochs_chunk=epochs_chunk, mesh=mesh,
+                              lane_width=lane_width)
 
 
 def _execute_job_batch(
@@ -603,6 +646,7 @@ def _execute_job_batch(
     verbose: bool = False,
     epochs_chunk: int = 500,
     mesh: Optional[Mesh] = None,
+    lane_width: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Device side of one batch: batched data-adaptive init, lane upload,
     and the chunked training loop."""
@@ -688,6 +732,12 @@ def _execute_job_batch(
     n_dev = mesh.devices.size
     M = len(setups)
     pad_lanes = (-M) % n_dev
+    if (lane_width is not None and M + pad_lanes < lane_width
+            and lane_width % n_dev == 0):
+        # tail batch of a width-split stream: pad up to the stream's common
+        # width so this batch reuses the already-compiled program instead
+        # of compiling a fresh ragged-M shape (minutes over the tunnel)
+        pad_lanes = lane_width - M
     if pad_lanes:
         dup = lambda t: jax.tree_util.tree_map(
             lambda x: jnp.concatenate(

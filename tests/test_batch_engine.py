@@ -283,3 +283,32 @@ class TestPerTauVmapEngine:
         with open(tmp_path / "q1" / "1" / "results.json") as f:
             r = json.load(f)
         assert r["quantile_level"] == 0.9
+
+
+class TestLaneWidthSplit:
+    """run_lane_jobs: wide workloads stream as sweet-spot batches whose tail
+    pads to the common width (one compiled program for the whole stream)."""
+
+    def test_split_stream_matches_single_batch(self, toy_csv, tmp_path):
+        from st_dadk_tpu.train.batch_engine import run_job_batch, run_lane_jobs
+        cfg = _cfg(toy_csv, n_experiments=12,
+                   extra={"lanes_per_device": 1})   # width = 8 on the 8-mesh
+        jobs_a = [(cfg, i, tmp_path / "wide" / str(i)) for i in range(1, 13)]
+        jobs_b = [(cfg, i, tmp_path / "split" / str(i)) for i in range(1, 13)]
+        wide = run_job_batch(jobs_a, epochs_chunk=8)
+        split = run_lane_jobs(jobs_b, cfg, epochs_chunk=8)
+        assert len(wide) == len(split) == 12
+        for a, b in zip(wide, split):
+            assert a["experiment_seed"] == b["experiment_seed"]
+            np.testing.assert_allclose(a["test_rmse"], b["test_rmse"],
+                                       rtol=1e-5)
+        # tail batch (4 lanes) really ran padded to width 8: results on disk
+        for i in range(1, 13):
+            assert (tmp_path / "split" / str(i) / "results.json").exists()
+
+    def test_narrow_list_stays_one_batch(self, toy_csv, tmp_path):
+        from st_dadk_tpu.train.batch_engine import run_lane_jobs
+        cfg = _cfg(toy_csv, n_experiments=3)
+        jobs = [(cfg, i, tmp_path / "n" / str(i)) for i in range(1, 4)]
+        out = run_lane_jobs(jobs, cfg, epochs_chunk=8)
+        assert len(out) == 3
