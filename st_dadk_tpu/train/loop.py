@@ -121,8 +121,8 @@ class LoopSpec:
     # gather the epoch's minibatches once per epoch instead of per step
     pregather: bool = True
     # epoch shuffle source:
-    #   'auto' (default) = 'hash' when the stacked capacity is a power of
-    #       two and lanes are uniform, else 'perm';
+    #   'auto' (default) = 'hash' when lanes are uniform (any capacity;
+    #       non-pow2 caps compact a pow2 bijection), else 'perm';
     #   'hash' = keyed multiply-xorshift bijection on [0, cap) — an exact
     #       permutation computed with a handful of VPU integer ops instead
     #       of the per-epoch SORT (compiled epoch HLO drops both sort ops
@@ -373,14 +373,14 @@ def epoch_batch_indices(perm_key: jax.Array, cap: int, bs: int, B: int,
     measurable fraction of a small model's step time) is skipped entirely.
 
     `shuffle='hash'`/'auto' replaces the sort-based permutation with a keyed
-    multiply-xorshift bijection (see `hash_permutation`) when cap is a power
-    of two and lanes are uniform; `shuffle='none'` (ablation only) skips
-    shuffling entirely — for measuring the sort's share of the epoch scan.
+    multiply-xorshift bijection (see `hash_permutation_any`) when lanes are
+    uniform; `shuffle='none'` (ablation only) skips shuffling entirely —
+    for measuring the shuffle+gather share of the epoch scan.
     """
     if shuffle == "none":
         return jnp.arange(B * bs, dtype=jnp.int32).reshape(B, bs) % cap
-    if shuffle in ("auto", "hash") and uniform and (cap & (cap - 1)) == 0:
-        perm = hash_permutation(perm_key, cap)
+    if shuffle in ("auto", "hash") and uniform:
+        perm = hash_permutation_any(perm_key, cap)
         return perm[: B * bs].reshape(B, bs)
     perm = jax.random.permutation(perm_key, cap)
     if not uniform:
@@ -415,6 +415,26 @@ def hash_permutation(key: jax.Array, cap: int) -> jax.Array:
         x = (x * (2 * r[i] + 1)) & mask
         x = x ^ (x >> s1 if i % 2 == 0 else x >> s2)
     return x.astype(jnp.int32)
+
+
+def hash_permutation_any(key: jax.Array, cap: int) -> jax.Array:
+    """Sort-free keyed permutation of [0, cap) for ANY cap.
+
+    Power-of-two caps use `hash_permutation` directly. Otherwise the
+    bijection runs on the next power of two and the entries >= cap are
+    compacted out with one cumsum + one scatter over <= 2*cap elements —
+    still far cheaper than the O(cap log^2 cap) compare-exchange sort that
+    `jax.random.permutation` lowers to on TPU. The result is the big
+    permutation's order restricted to [0, cap), so it inherits the hash
+    family's uniformity."""
+    if (cap & (cap - 1)) == 0:
+        return hash_permutation(key, cap)
+    big_n = 1 << int(cap).bit_length()
+    big = hash_permutation(key, big_n)
+    mask = big < cap
+    pos = jnp.cumsum(mask) - 1
+    out = jnp.zeros(cap, jnp.int32)
+    return out.at[jnp.where(mask, pos, cap)].set(big, mode="drop")
 
 
 def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,

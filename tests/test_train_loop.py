@@ -269,7 +269,7 @@ class TestHashShuffle:
         ov = len(set(a[:4096].tolist()) & set(b[:4096].tolist())) / 4096
         assert 0.35 < ov < 0.65
 
-    def test_auto_routes_pow2_uniform_to_hash(self):
+    def test_auto_routes_uniform_to_hash(self):
         import jax.numpy as jnp
         from st_dadk_tpu.train.loop import (epoch_batch_indices,
                                             hash_permutation)
@@ -279,12 +279,23 @@ class TestHashShuffle:
                                              shuffle="auto"))
         expect = np.asarray(hash_permutation(key, cap)).reshape(B, bs)
         assert np.array_equal(idx, expect)
-        # non-pow2 cap falls back to the sort permutation (still exact cover)
+        # non-pow2 cap: compacted hash — still an exact cover of [0, cap)
         cap2, bs2, B2 = 96, 32, 3
         idx2 = np.asarray(epoch_batch_indices(jax.random.PRNGKey(4), cap2,
                                               bs2, B2, jnp.asarray(B2),
                                               uniform=True, shuffle="auto"))
         assert set(idx2.ravel().tolist()) == set(range(cap2))
+
+    def test_hash_permutation_any_non_pow2(self):
+        from st_dadk_tpu.train.loop import hash_permutation_any
+        for cap in (3, 96, 1000, 8000, 48000):
+            p = np.asarray(hash_permutation_any(jax.random.PRNGKey(cap), cap))
+            assert np.array_equal(np.sort(p), np.arange(cap)), cap
+        # orders differ across keys and are not near-identity
+        a = np.asarray(hash_permutation_any(jax.random.PRNGKey(0), 8000))
+        b = np.asarray(hash_permutation_any(jax.random.PRNGKey(1), 8000))
+        assert not np.array_equal(a, b)
+        assert np.mean(a == np.arange(8000)) < 0.01
 
     def test_nonuniform_lanes_keep_partition_semantics(self):
         """auto with non-uniform lanes uses the partitioned sort path: a
