@@ -127,6 +127,11 @@ def main() -> None:
             results = window_results
             log(f"[bench] window {wi}: {fits} fits in {wall:.1f}s "
                 f"-> {rate:.1f} fits/hr")
+            # incremental dump: if a later window stalls (tunnel hiccup),
+            # the completed windows' evidence survives on disk
+            with open(REPO / "bench_details.json", "w") as f:
+                json.dump({"M": M, "windows": windows, "partial": True},
+                          f, indent=2)
 
         rates = sorted(w["fits_per_hour"] for w in windows)
         fits_per_hour = rates[len(rates) // 2]          # median window
