@@ -212,9 +212,12 @@ class TestConfigStacking:
                           / "results.json") as f:
                     r_st = json.load(f)
                 # same masks/init; trained in a stacked batch whose shared
-                # caps may differ slightly -> close, not necessarily equal
+                # caps may differ slightly AND whose mixed lane sizes take
+                # the partitioned 'perm' shuffle while the separate uniform
+                # batch takes 'hash' — different but equally-distributed
+                # batch orders -> close, not necessarily equal
                 assert np.isclose(r_st["test_rmse"], r_sep["test_rmse"],
-                                  rtol=0.05), (c["tag"], e)
+                                  rtol=0.12), (c["tag"], e)
 
     def test_unstackable_configs_split_buckets(self, toy_csv, tmp_path):
         base = dict(
