@@ -93,12 +93,14 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
 # Spherical GMM EM (jittable, vmappable)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4),
+         static_argnames=("k", "max_iter", "n_init", "em_dtype"))
 def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
                   max_iter: int = 100, n_init: int = 3,
                   reg_covar: float = 1e-6, tol: float = 1e-3,
                   w: Optional[jax.Array] = None,
-                  k_active: Optional[jax.Array] = None
+                  k_active: Optional[jax.Array] = None,
+                  em_dtype: Optional[str] = None
                   ) -> Tuple[jax.Array, jax.Array]:
     """Fit a spherical GMM; returns (means (k,2), sigmas (k,)).
 
@@ -119,8 +121,19 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
     as one vmapped program (a multi-resolution init is then ONE while_loop
     of max-iterations latency instead of one per resolution). Rows
     [k_active:] of the outputs are junk the caller slices off.
+
+    Optional `em_dtype='bfloat16'` stores the (n, k)-sized EM tensors
+    (pairwise d2, responsibilities) in bf16: EM on TPU is HBM-throughput-
+    bound on exactly those arrays, so halving their width halves the
+    per-iteration cost. All reductions (component masses, means, variances,
+    log-likelihood) still accumulate in f32 — bf16's ~0.4% relative error
+    enters only through the stored distances/responsibilities, a
+    statistical perturbation of the same order as a different k-means++
+    draw (A/B-measured CRPS-neutral; see scripts/ab_kmeans_divergence.py).
+    Default None keeps the exact f32 program.
     """
     n, d = X.shape
+    big = jnp.bfloat16 if em_dtype == "bfloat16" else jnp.float32
     w_sum = None if w is None else jnp.maximum(jnp.sum(w), 1e-12)
     active = (None if k_active is None
               else jnp.arange(k) < k_active)    # (k,) component mask
@@ -130,9 +143,10 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
         # explicit elementwise differences: the |x|^2+|c|^2-2xc matmul trick
         # cancels catastrophically in TPU bf16 matmuls and can go NEGATIVE,
         # which poisons log(var) downstream. O(n*k*d) elementwise is cheap at
-        # these sizes and always >= 0.
+        # these sizes and always >= 0. Differences are computed in f32 (no
+        # cancellation); only the STORED (n, k) result takes em_dtype.
         diff = X[:, None, :] - means[None, :, :]          # (n, k, d)
-        return jnp.sum(diff * diff, axis=-1)              # (n, k)
+        return jnp.sum(diff * diff, axis=-1).astype(big)  # (n, k)
 
     def em_once(subkey):
         means0 = kmeans_plus_plus(subkey, X, k, w=w, k_active=k_active)
@@ -150,7 +164,8 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
             # exp would double the transcendental cost, which dominates EM
             # on the VPU at (n, k) ~ 10k x 121)
             log_w = jnp.log(jnp.maximum(weights, 1e-30))
-            log_prob = (-0.5 * (d2 / var[None] + d * jnp.log(2 * jnp.pi * var)[None])
+            log_prob = (-0.5 * (d2.astype(jnp.float32) / var[None]
+                                + d * jnp.log(2 * jnp.pi * var)[None])
                         + log_w[None])
             if active is not None:
                 # exp(-1e30 - m) underflows to exactly 0: padded components
@@ -166,7 +181,7 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
                 ll = jnp.sum(w * log_norm) / w_sum
             else:
                 ll = jnp.mean(log_norm)
-            return resp, ll
+            return resp.astype(big), ll
 
         def cond(state):
             _, _, _, _, ll_prev, ll, it = state
@@ -180,10 +195,13 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
             # exactly the next E-step's distances — one pairwise pass/iter
             means, var, weights, d2, _, ll_prev, it = state
             resp, ll = estep(d2, var, weights)
-            nk = resp.sum(axis=0) + 1e-10
-            means_new = (resp.T @ X) / nk[:, None]
+            nk = resp.sum(axis=0, dtype=jnp.float32) + 1e-10
+            means_new = jnp.matmul(resp.T, X,
+                                   preferred_element_type=jnp.float32
+                                   ) / nk[:, None]
             d2_new = pairwise_d2(means_new)
-            var_new = (resp * d2_new).sum(axis=0) / (nk * d)
+            var_new = ((resp * d2_new).sum(axis=0, dtype=jnp.float32)
+                       / (nk * d))
             var_new = jnp.maximum(var_new, 0.0) + reg_covar
             weights_new = nk / (n if w is None else w_sum)
             return (means_new, var_new, weights_new, d2_new,
@@ -339,7 +357,8 @@ def _subsample(train_coords: np.ndarray, rng_np: bool = True) -> np.ndarray:
 _BATCH_FIT_CACHE = {}
 
 
-def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool):
+def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
+                       em_dtype: Optional[str] = None):
     """All resolutions of a batched GMM init as ONE device program
     (per-resolution dispatches each pay a tunnel round trip).
 
@@ -349,7 +368,7 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool):
     bench workload's [25, 81, 121]: EM is HBM-throughput-bound, so padding
     25/81 up to 121 costs ~1.6x traffic, which beats the saved while_loop
     latency (1.05 s merged vs 0.64 s sequential per M=16 batch)."""
-    key = ("gmm_multi", ks, weighted)
+    key = ("gmm_multi", ks, weighted, em_dtype)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:
         def program(keys_b, X_b, w_b):
@@ -358,11 +377,13 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool):
                 sub = jax.vmap(lambda kk, i=i: jax.random.fold_in(kk, i))(keys_b)
                 if weighted:
                     out.append(jax.vmap(
-                        lambda kk, X, ww, k=k: gmm_spherical(kk, X, k, w=ww)
+                        lambda kk, X, ww, k=k: gmm_spherical(
+                            kk, X, k, w=ww, em_dtype=em_dtype)
                     )(sub, X_b, w_b))
                 else:
                     out.append(jax.vmap(
-                        lambda kk, X, k=k: gmm_spherical(kk, X, k))(sub, X_b))
+                        lambda kk, X, k=k: gmm_spherical(
+                            kk, X, k, em_dtype=em_dtype))(sub, X_b))
             return tuple(out)
         fn = jax.jit(program)
         _BATCH_FIT_CACHE[key] = fn
@@ -420,6 +441,7 @@ def init_spatial_centers_batch(
     keys: jax.Array,
     rng_states: Optional[list] = None,
     device_out: bool = False,
+    em_dtype: Optional[str] = None,
 ):
     """Data-adaptive initialization for a whole experiment batch at once.
 
@@ -503,8 +525,8 @@ def init_spatial_centers_batch(
         cparts, bparts = [], []
         if method == "gmm":
             for k, (means_b, sig_b) in zip(
-                    ks, _batched_gmm_multi(ks, w_b is not None)(keys, X_b,
-                                                                w_b)):
+                    ks, _batched_gmm_multi(ks, w_b is not None,
+                                           em_dtype)(keys, X_b, w_b)):
                 bw_min = 0.25 * uniform_bandwidth_for(k)
                 cparts.append(means_b)
                 bparts.append(jnp.maximum(4.23 * 2.5 * sig_b, bw_min
@@ -525,7 +547,8 @@ def init_spatial_centers_batch(
         return (jnp.concatenate(cparts, axis=1),
                 jnp.concatenate(bparts, axis=1))
     if method == "gmm":
-        results = _batched_gmm_multi(ks, w_b is not None)(keys, X_b, w_b)
+        results = _batched_gmm_multi(ks, w_b is not None,
+                                     em_dtype)(keys, X_b, w_b)
         for k, (means_b, sig_b) in zip(ks, results):
             means_np = np.asarray(means_b, np.float32)
             sig_np = np.asarray(sig_b)
@@ -557,6 +580,7 @@ def init_spatial_centers(
     n_centers: Sequence[int],
     train_coords: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
+    em_dtype: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (centers (sum_k, 2), bandwidths (sum_k,)) for any init method.
 
@@ -579,7 +603,8 @@ def init_spatial_centers(
     if method == "gmm":
         X = jnp.asarray(_subsample(train_coords), jnp.float32)
         for i, k in enumerate(n_centers):
-            means, sigmas = gmm_spherical(jax.random.fold_in(key, i), X, int(k))
+            means, sigmas = gmm_spherical(jax.random.fold_in(key, i), X,
+                                          int(k), em_dtype=em_dtype)
             centers = np.asarray(means, np.float32)
             bw_raw = 4.23 * 2.5 * np.asarray(sigmas)
             bw_min = 0.25 * uniform_bandwidth_for(int(k))

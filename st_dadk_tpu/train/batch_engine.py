@@ -1134,7 +1134,8 @@ def _init_lane_carries(cfg: ExperimentConfig, setups: List, keys,
             cfg.spatial_init_method, list(klist),
             [coords_list[i] for i in idx], keys[idx_np],
             rng_states=[setups[i].np_rng_state for i in idx],
-            device_out=True)
+            device_out=True,
+            em_dtype=cfg.extra.get("init_em_dtype"))
         spec_real = dataclasses.replace(
             setups[idx[0]].spec, k_spatial_centers=tuple(klist))
         carry_g, consts_g = prepare_carry_batch(

@@ -300,7 +300,8 @@ class ExperimentSetup:
                 train_coords = self.train_ps.coords
             centers, bandwidths = init_spatial_centers(
                 cfg.spatial_init_method, cfg.k_spatial_centers, train_coords,
-                key=jax.random.PRNGKey(self.experiment_seed))
+                key=jax.random.PRNGKey(self.experiment_seed),
+                em_dtype=cfg.extra.get("init_em_dtype"))
             self.finish_model(centers, bandwidths)
 
     def finish_model(self, centers, bandwidths) -> None:

@@ -46,6 +46,35 @@ class TestGMM:
         assert np.isfinite(np.asarray(means)).all()
         assert np.isfinite(np.asarray(sigmas)).all()
 
+    def test_bf16_em_close_to_f32(self):
+        # em_dtype='bfloat16' stores the (n,k) EM tensors in bf16 (a TPU
+        # HBM-traffic optimization); outputs must be f32, finite, and land
+        # on the same cluster structure as the exact program
+        X = jnp.asarray(_two_clusters(800, 3))
+        m32, s32 = gmm_spherical(jax.random.PRNGKey(5), X, 2, max_iter=50)
+        m16, s16 = gmm_spherical(jax.random.PRNGKey(5), X, 2, max_iter=50,
+                                 em_dtype="bfloat16")
+        assert m16.dtype == jnp.float32 and s16.dtype == jnp.float32
+        assert np.isfinite(np.asarray(m16)).all()
+        # same two cluster centers up to bf16-induced jitter + permutation
+        got32 = np.sort(np.asarray(m32).sum(1))
+        got16 = np.sort(np.asarray(m16).sum(1))
+        np.testing.assert_allclose(got16, got32, atol=0.05)
+        np.testing.assert_allclose(np.sort(np.asarray(s16)),
+                                   np.sort(np.asarray(s32)), rtol=0.1)
+
+    def test_bf16_em_weighted_padding_exact(self):
+        # zero-weight padding rows must stay exactly inert in bf16 too
+        X = np.asarray(_two_clusters(300, 4))
+        Xp = np.concatenate([X, np.full((50, 2), 7.7, np.float32)])
+        w = np.concatenate([np.ones(300, np.float32),
+                            np.zeros(50, np.float32)])
+        m_pad, _ = gmm_spherical(jax.random.PRNGKey(3), jnp.asarray(Xp), 2,
+                                 max_iter=30, w=jnp.asarray(w),
+                                 em_dtype="bfloat16")
+        got = np.sort(np.asarray(m_pad).sum(1))
+        assert abs(got[0] - 0.5) < 0.15 and abs(got[1] - 1.5) < 0.15
+
 
 class TestBalancedKmeans:
     def test_balance(self):
