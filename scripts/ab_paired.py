@@ -1,22 +1,26 @@
 #!/usr/bin/env python
-"""A/B: f32 vs bf16 EM storage in the GMM init, end metric.
+"""Paired A/B of any config override on the bench workload, end metric.
 
-`init_em_dtype: bfloat16` halves the HBM traffic of the init EM loop (the
-(n, k) distance/responsibility tensors; ops/init_centers.py). The math
-guarantees the perturbation is ~0.4% relative on stored distances — this
-script MEASURES the end-to-end effect on the bench workload (2a_8 DA-STDK
-multi-quantile): the same seeds fit under both dtypes, so per-seed CRPS
-deltas are PAIRED (same masks, same subsample, same training stream —
-only the init EM arithmetic differs).
+Fits the SAME seeds under a baseline arm and a modified arm (one or more
+`key=value` config overrides), so per-seed CRPS deltas are PAIRED — same
+masks, same init subsample, same training stream wherever the override
+doesn't touch them. This is the measurement tool behind performance knobs
+that perturb arithmetic, e.g.:
 
-Usage:
-    python scripts/ab_init_em_dtype.py --n_experiments 16 \
+    # bf16 EM storage in the GMM init (ops/init_centers.py):
+    python scripts/ab_paired.py --b init_em_dtype=bfloat16 \
         --out results/ab_em_dtype_r3
+
+    # bf16 trunk activations in the training scan (models/st_interp.py):
+    python scripts/ab_paired.py --b train_dtype=bf16 \
+        --out results/ab_train_dtype_r3
+
+Values parse as YAML scalars (so `epochs=250` is an int, `lr=1e-3` a
+float, `train_dtype=bf16` a string).
 """
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 from pathlib import Path
@@ -31,6 +35,7 @@ from st_dadk_tpu.utils.platform import apply_platform_env  # noqa: E402
 apply_platform_env()
 
 import numpy as np  # noqa: E402
+import yaml  # noqa: E402
 
 from st_dadk_tpu.config import ExperimentConfig  # noqa: E402
 from st_dadk_tpu.train.runner import (load_all_results,  # noqa: E402
@@ -38,7 +43,7 @@ from st_dadk_tpu.train.runner import (load_all_results,  # noqa: E402
 from st_dadk_tpu.utils.io import save_json  # noqa: E402
 
 BASE = dict(
-    tag="ab_em_dtype", data_file="data/2a/2a_8.csv",
+    tag="ab_paired", data_file="data/2a/2a_8.csv",
     k_spatial_centers=[25, 81, 121], k_temporal_centers=[10, 15, 45],
     spatial_basis_function="wendland", spatial_init_method="gmm",
     spatial_learnable=True, gradient_damping=True, damping_threshold=0.0,
@@ -57,31 +62,48 @@ BASE = dict(
 )
 
 
+def _parse_overrides(pairs):
+    out = {}
+    for p in pairs:
+        k, _, v = p.partition("=")
+        if not _:
+            raise SystemExit(f"override must be key=value, got: {p!r}")
+        out[k] = yaml.safe_load(v)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_experiments", type=int, default=16)
     ap.add_argument("--data_file", default=None)
-    ap.add_argument("--out", default=str(REPO / "results" / "ab_em_dtype_r3"))
-    ap.add_argument("--arms", nargs="+", default=["float32", "bfloat16"])
+    ap.add_argument("--a", nargs="*", default=[],
+                    help="key=value overrides for the BASELINE arm")
+    ap.add_argument("--b", nargs="+", required=True,
+                    help="key=value overrides for the MODIFIED arm "
+                         "(applied on top of the baseline arm's)")
+    ap.add_argument("--out", default=str(REPO / "results" / "ab_paired"))
+    ap.add_argument("--arms", nargs="+", default=["a", "b"],
+                    help="subset of arms to (re)fit; the summary still "
+                         "aggregates every completed arm found under --out")
     args = ap.parse_args()
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    arm_over = {"a": _parse_overrides(args.a),
+                "b": {**_parse_overrides(args.a), **_parse_overrides(args.b)}}
 
     table = {}
     per_seed = {}
-    for arm in ("float32", "bfloat16"):
-        d = dict(BASE, n_experiments=args.n_experiments)
+    for arm in ("a", "b"):
+        d = dict(BASE, n_experiments=args.n_experiments, **arm_over[arm])
         if args.data_file:
             d["data_file"] = args.data_file
-        if arm == "bfloat16":
-            d["init_em_dtype"] = "bfloat16"
         cdir = out / arm
         cdir.mkdir(parents=True, exist_ok=True)
         t0 = time.time()
         if arm in args.arms:
-            print(f"\n=== init_em_dtype={arm} ({args.n_experiments} seeds) "
-                  f"===", flush=True)
+            print(f"\n=== arm {arm}: {arm_over[arm] or 'baseline'} "
+                  f"({args.n_experiments} seeds) ===", flush=True)
             run_multiple_experiments(ExperimentConfig.from_dict(d), cdir,
                                      engine="vmap")
         results = load_all_results(cdir / "experiments", args.n_experiments)
@@ -93,6 +115,7 @@ def main():
             continue
         per_seed[arm] = {"crps": crps, "rmse": rmse}
         table[arm] = {
+            "overrides": arm_over[arm],
             "n": len(crps),
             "test_crps_mean": float(np.mean(list(crps.values()))),
             "test_crps_std": float(np.std(list(crps.values()))),
@@ -101,15 +124,16 @@ def main():
                              if arm in args.arms else None),
         }
         e = table[arm]
-        print(f"  {arm}: CRPS {e['test_crps_mean']:.4f} ± "
+        print(f"  arm {arm}: CRPS {e['test_crps_mean']:.4f} ± "
               f"{e['test_crps_std']:.4f}  RMSE {e['test_rmse_mean']:.4f}",
               flush=True)
 
-    if "float32" in per_seed and "bfloat16" in per_seed:
-        common = sorted(set(per_seed["float32"]["crps"])
-                        & set(per_seed["bfloat16"]["crps"]))
-        deltas = np.array([per_seed["bfloat16"]["crps"][i]
-                           - per_seed["float32"]["crps"][i] for i in common])
+    if "a" in per_seed and "b" in per_seed:
+        common = sorted(set(per_seed["a"]["crps"]) & set(per_seed["b"]["crps"]))
+        deltas = np.array([per_seed["b"]["crps"][i] - per_seed["a"]["crps"][i]
+                           for i in common])
+        rdeltas = np.array([per_seed["b"]["rmse"][i] - per_seed["a"]["rmse"][i]
+                            for i in common])
         table["paired"] = {
             "n_pairs": len(common),
             "crps_delta_mean": float(deltas.mean()),
@@ -117,9 +141,10 @@ def main():
             "crps_delta_sigma": float(abs(deltas.mean())
                                       / max(deltas.std()
                                             / np.sqrt(len(deltas)), 1e-12)),
+            "rmse_delta_mean": float(rdeltas.mean()),
         }
         p = table["paired"]
-        print(f"\npaired bf16-f32 CRPS delta = {p['crps_delta_mean']:+.5f} "
+        print(f"\npaired b-a CRPS delta = {p['crps_delta_mean']:+.5f} "
               f"± {p['crps_delta_std']:.5f} over {p['n_pairs']} seeds "
               f"({p['crps_delta_sigma']:.2f} sigma of the mean)")
 
