@@ -308,3 +308,55 @@ class TestHashShuffle:
                                              B, jnp.asarray(B_lane),
                                              uniform=False, shuffle="auto"))
         assert set(idx[:B_lane].ravel().tolist()) == set(range(B_lane * bs))
+
+
+class TestTrainDtypeBf16:
+    """train_dtype='bf16' (mixed-precision trunk, config.py train_dtype):
+    activations/cotangents flow in bfloat16 while params, LayerNorm stats,
+    the loss, and the optimizer stay f32 — the fit must track the f32 run."""
+
+    def test_bf16_fit_tracks_f32(self):
+        train_ps = _synthetic(512, 0)
+        valid_ps = _synthetic(128, 1)
+        rmse = {}
+        for dt in ("f32", "bf16"):
+            cfg = _cfg(train_dtype=dt)
+            spec = spec_from_config(cfg)
+            assert spec.compute_dtype == dt
+            params, consts = init_model(jax.random.PRNGKey(42), spec)
+            res = fit(cfg, spec, params, consts, train_ps, valid_ps,
+                      seed=42, epochs_chunk=10)
+            hist = res.history
+            assert np.all(np.isfinite(hist["train_loss"])), dt
+            assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.8, dt
+            # params and the returned best model stay f32
+            for leaf in jax.tree_util.tree_leaves(res.params):
+                assert leaf.dtype == np.float32, dt
+            preds = predict(spec, res.params, consts, valid_ps.coords,
+                            valid_ps.t, chunk=256)
+            assert preds.dtype == np.float32, dt
+            rmse[dt] = float(np.sqrt(np.mean((preds - valid_ps.y) ** 2)))
+        # bf16 rounding perturbs the trajectory but not the end metric
+        assert rmse["bf16"] < 0.5
+        assert abs(rmse["bf16"] - rmse["f32"]) < 0.15
+
+    def test_bf16_forward_head_returns_f32(self):
+        from st_dadk_tpu.models.st_interp import forward
+        cfg = _cfg(train_dtype="bf16", regression_type="multi-quantile",
+                   quantile_levels=[0.25, 0.5, 0.75],
+                   use_delta_reparameterization=True)
+        spec = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(0), spec)
+        ps = _synthetic(64, 2)
+        out = forward(spec, params, consts, None, ps.coords, ps.t,
+                      train=False)
+        assert out.dtype == np.float32
+        assert out.shape == (64, 3)
+        # train-mode with dropout also stays f32 at the head
+        cfg2 = _cfg(train_dtype="bf16", dropout=0.3)
+        spec2 = spec_from_config(cfg2)
+        p2, c2 = init_model(jax.random.PRNGKey(0), spec2)
+        out2 = forward(spec2, p2, c2, None, ps.coords, ps.t, train=True,
+                       rng=jax.random.PRNGKey(7))
+        assert out2.dtype == np.float32
+        assert np.all(np.isfinite(np.asarray(out2)))
