@@ -72,6 +72,22 @@ def main():
         timed(f"kmeans++ seeding k={k} (x{N_INIT} restarts)",
               seed_only(k), keys, X_b)
 
+    # scan-unroll sweep on the largest resolution (exact same draws; only
+    # the loop's dispatch granularity changes)
+    def seed_unroll(k, u):
+        @jax.jit
+        def run(keys_b, X_b):
+            def lane(key, X):
+                subs = jax.random.split(key, N_INIT)
+                return jax.vmap(
+                    lambda s: kmeans_plus_plus(s, X, k, unroll=u))(subs)
+            return jax.vmap(lane)(keys_b, X_b)
+        return run
+
+    for u in (1, 4, 8, 16, 32):
+        timed(f"kmeans++ k={KS[-1]} unroll={u}",
+              seed_unroll(KS[-1], u), keys, X_b)
+
     # full gmm per resolution
     for k in KS:
         fn = jax.jit(jax.vmap(partial(gmm_spherical, k=k)),

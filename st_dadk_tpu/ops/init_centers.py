@@ -45,7 +45,8 @@ MAX_INIT_SAMPLES = 10_000
 
 def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
                      w: Optional[jax.Array] = None,
-                     k_active: Optional[jax.Array] = None) -> jax.Array:
+                     k_active: Optional[jax.Array] = None,
+                     unroll: int = 8) -> jax.Array:
     """k-means++ seeding over X (n, d) -> (k, d).
 
     Optional nonnegative point weights `w` (zero-weight rows are padding and
@@ -55,7 +56,12 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
     steps beyond it are masked no-ops, so resolutions with different true k
     share ONE padded program (the key chain advances identically through the
     real steps, making the active prefix match the unpadded program's draws).
-    Rows [k_active:] of the result are junk the caller must mask."""
+    Rows [k_active:] of the result are junk the caller must mask.
+
+    `unroll` feeds lax.scan's unroll factor: the body is tiny (one (n,)
+    distance update), so at k=227 the while-loop's per-iteration dispatch
+    overhead dominates; unrolling packs several exact steps per loop
+    iteration without changing any draw (same key chain, same numerics)."""
     n = X.shape[0]
     if k_active is None:
         k_active = jnp.asarray(k, jnp.int32)
@@ -83,7 +89,8 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
     d2_0 = jnp.sum((X - first) ** 2, axis=1)
     (key, centers, _), _ = jax.lax.scan(
         body, (key, centers0, d2_0),
-        jnp.arange(k - 1, dtype=jnp.int32), length=k - 1)
+        jnp.arange(k - 1, dtype=jnp.int32), length=k - 1,
+        unroll=min(unroll, max(k - 1, 1)))
     # the k_active seeded centers sit in the LAST rows after the rolls; move
     # them to the front (identity when k_active == k)
     return jnp.roll(centers, k_active, axis=0)
