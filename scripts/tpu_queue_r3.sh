@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 TPU work backlog, run sequentially once the tunnel is back.
+# Each step logs under results/tpu_queue_r3/; safe to re-run (A/B arms
+# re-fit, profiles overwrite their logs).
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=results/tpu_queue_r3
+mkdir -p "$LOGDIR"
+
+step() {
+  local name=$1; shift
+  echo "=== [$name] $(date) ===" | tee -a "$LOGDIR/queue.log"
+  timeout 5400 "$@" > "$LOGDIR/$name.log" 2>&1
+  echo "=== [$name] exit $? $(date) ===" | tee -a "$LOGDIR/queue.log"
+}
+
+# 1. GMM init split: seeding vs EM, kmeans++ unroll sweep (roadmap question)
+step profile_init python scripts/profile_init.py 16
+
+# 2. bf16 EM storage A/B (paired CRPS + arm wall-clock)
+step ab_em_dtype python scripts/ab_paired.py \
+  --b init_em_dtype=bfloat16 --out results/ab_em_dtype_r3
+
+# 3. bf16 training trunk A/B
+step ab_train_dtype python scripts/ab_paired.py \
+  --b train_dtype=bf16 --out results/ab_train_dtype_r3
+
+# 4. current-code bench (5x90 s protocol)
+step bench python bench.py
+
+echo "=== queue done $(date) ===" | tee -a "$LOGDIR/queue.log"
