@@ -25,7 +25,15 @@ step ab_em_dtype python scripts/ab_paired.py \
 step ab_train_dtype python scripts/ab_paired.py \
   --b train_dtype=bf16 --out results/ab_train_dtype_r3
 
-# 4. current-code bench (5x90 s protocol)
+# 4. GMM restart-count A/B (n_init 3 -> 1: init cost /3 if metric-neutral)
+step ab_n_init python scripts/ab_paired.py \
+  --b init_gmm_n_init=1 --out results/ab_n_init_r3
+
+# 5. init subsample-cap A/B (10k -> 4096: EM cost ~x0.4 if metric-neutral)
+step ab_subsample python scripts/ab_paired.py \
+  --b init_subsample=4096 --out results/ab_subsample_r3
+
+# 6. current-code bench (5x90 s protocol)
 step bench python bench.py
 
 echo "=== queue done $(date) ===" | tee -a "$LOGDIR/queue.log"

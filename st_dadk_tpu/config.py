@@ -145,6 +145,13 @@ class ExperimentConfig:
     eval_chunk: int = 32768                    # chunk size for dense-grid inference
 
     # Unknown keys found in YAML are preserved here so config snapshots round-trip.
+    # Recognized experimental keys (opt-in cost knobs, A/B'd via
+    # scripts/ab_paired.py before any default flips):
+    #   init_em_dtype:   'bfloat16' stores the GMM EM (n,k) tensors in bf16
+    #   init_gmm_n_init: override the GMM's k-means++ restart count (ref: 3)
+    #   init_subsample:  override the data-adaptive init subsample cap (ref:
+    #                    10_000; smaller = cheaper EM, different np stream)
+    #   shuffle:         'perm' restores the sort-based epoch permutation
     extra: Dict[str, Any] = field(default_factory=dict)
 
     @classmethod

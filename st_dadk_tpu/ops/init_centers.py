@@ -349,10 +349,11 @@ def _nn_bandwidths(centers: np.ndarray, n_neighbors: int = 4,
     return np.maximum(bw, np.float32(floor))
 
 
-def _subsample(train_coords: np.ndarray, rng_np: bool = True) -> np.ndarray:
-    if len(train_coords) > MAX_INIT_SAMPLES:
-        idx = np.random.choice(len(train_coords), MAX_INIT_SAMPLES,
-                               replace=False)
+def _subsample(train_coords: np.ndarray, cap: Optional[int] = None
+               ) -> np.ndarray:
+    cap = MAX_INIT_SAMPLES if cap is None else int(cap)
+    if len(train_coords) > cap:
+        idx = np.random.choice(len(train_coords), cap, replace=False)
         return train_coords[idx]
     return train_coords
 
@@ -365,7 +366,8 @@ _BATCH_FIT_CACHE = {}
 
 
 def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
-                       em_dtype: Optional[str] = None):
+                       em_dtype: Optional[str] = None,
+                       n_init: Optional[int] = None):
     """All resolutions of a batched GMM init as ONE device program
     (per-resolution dispatches each pay a tunnel round trip).
 
@@ -375,7 +377,8 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
     bench workload's [25, 81, 121]: EM is HBM-throughput-bound, so padding
     25/81 up to 121 costs ~1.6x traffic, which beats the saved while_loop
     latency (1.05 s merged vs 0.64 s sequential per M=16 batch)."""
-    key = ("gmm_multi", ks, weighted, em_dtype)
+    ni = 3 if n_init is None else int(n_init)
+    key = ("gmm_multi", ks, weighted, em_dtype, ni)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:
         def program(keys_b, X_b, w_b):
@@ -385,12 +388,13 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
                 if weighted:
                     out.append(jax.vmap(
                         lambda kk, X, ww, k=k: gmm_spherical(
-                            kk, X, k, w=ww, em_dtype=em_dtype)
+                            kk, X, k, w=ww, em_dtype=em_dtype, n_init=ni)
                     )(sub, X_b, w_b))
                 else:
                     out.append(jax.vmap(
                         lambda kk, X, k=k: gmm_spherical(
-                            kk, X, k, em_dtype=em_dtype))(sub, X_b))
+                            kk, X, k, em_dtype=em_dtype, n_init=ni)
+                    )(sub, X_b))
             return tuple(out)
         fn = jax.jit(program)
         _BATCH_FIT_CACHE[key] = fn
@@ -449,6 +453,8 @@ def init_spatial_centers_batch(
     rng_states: Optional[list] = None,
     device_out: bool = False,
     em_dtype: Optional[str] = None,
+    gmm_n_init: Optional[int] = None,
+    subsample: Optional[int] = None,
 ):
     """Data-adaptive initialization for a whole experiment batch at once.
 
@@ -466,6 +472,11 @@ def init_spatial_centers_batch(
     (M, K)) with the resolutions already concatenated: the consumer
     (prepare_carry_batch) runs on device, so pulling centers to host only to
     re-upload them cost several tunnel round trips per batch for nothing.
+
+    `gmm_n_init` / `subsample` override the reference-parity GMM restart
+    count (3) and init subsample cap (10k) — opt-in cost knobs (cfg.extra
+    init_gmm_n_init / init_subsample) whose end-metric effect is measured
+    with scripts/ab_paired.py before any default changes.
     """
     from st_dadk_tpu.utils.seed import GLOBAL_NP_RNG_LOCK
 
@@ -499,13 +510,14 @@ def init_spatial_centers_batch(
     Xs = []
     with GLOBAL_NP_RNG_LOCK:
         for i, tc in enumerate(train_coords_list):
+            cap = MAX_INIT_SAMPLES if subsample is None else int(subsample)
             if rng_states is not None:
                 np.random.set_state(rng_states[i])
-                sub = _subsample(tc)        # sequential-exact global stream
-            elif len(tc) > MAX_INIT_SAMPLES:
+                sub = _subsample(tc, cap)   # sequential-exact global stream
+            elif len(tc) > cap:
                 rng = np.random.default_rng(
                     np.asarray(jax.random.key_data(keys[i]))[-1])
-                sub = tc[rng.choice(len(tc), MAX_INIT_SAMPLES, replace=False)]
+                sub = tc[rng.choice(len(tc), cap, replace=False)]
             else:
                 sub = tc
             Xs.append(np.asarray(sub, np.float32))
@@ -532,8 +544,8 @@ def init_spatial_centers_batch(
         cparts, bparts = [], []
         if method == "gmm":
             for k, (means_b, sig_b) in zip(
-                    ks, _batched_gmm_multi(ks, w_b is not None,
-                                           em_dtype)(keys, X_b, w_b)):
+                    ks, _batched_gmm_multi(ks, w_b is not None, em_dtype,
+                                           gmm_n_init)(keys, X_b, w_b)):
                 bw_min = 0.25 * uniform_bandwidth_for(k)
                 cparts.append(means_b)
                 bparts.append(jnp.maximum(4.23 * 2.5 * sig_b, bw_min
@@ -554,8 +566,8 @@ def init_spatial_centers_batch(
         return (jnp.concatenate(cparts, axis=1),
                 jnp.concatenate(bparts, axis=1))
     if method == "gmm":
-        results = _batched_gmm_multi(ks, w_b is not None,
-                                     em_dtype)(keys, X_b, w_b)
+        results = _batched_gmm_multi(ks, w_b is not None, em_dtype,
+                                     gmm_n_init)(keys, X_b, w_b)
         for k, (means_b, sig_b) in zip(ks, results):
             means_np = np.asarray(means_b, np.float32)
             sig_np = np.asarray(sig_b)
@@ -588,6 +600,8 @@ def init_spatial_centers(
     train_coords: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
     em_dtype: Optional[str] = None,
+    gmm_n_init: Optional[int] = None,
+    subsample: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (centers (sum_k, 2), bandwidths (sum_k,)) for any init method.
 
@@ -608,10 +622,12 @@ def init_spatial_centers(
     centers_list, bw_list = [], []
 
     if method == "gmm":
-        X = jnp.asarray(_subsample(train_coords), jnp.float32)
+        X = jnp.asarray(_subsample(train_coords, subsample), jnp.float32)
+        ni = 3 if gmm_n_init is None else int(gmm_n_init)
         for i, k in enumerate(n_centers):
             means, sigmas = gmm_spherical(jax.random.fold_in(key, i), X,
-                                          int(k), em_dtype=em_dtype)
+                                          int(k), em_dtype=em_dtype,
+                                          n_init=ni)
             centers = np.asarray(means, np.float32)
             bw_raw = 4.23 * 2.5 * np.asarray(sigmas)
             bw_min = 0.25 * uniform_bandwidth_for(int(k))
@@ -636,7 +652,7 @@ def init_spatial_centers(
             bw_list.append(bw)
 
     elif method == "kmeans_balanced":
-        X = jnp.asarray(_subsample(train_coords), jnp.float32)
+        X = jnp.asarray(_subsample(train_coords, subsample), jnp.float32)
         for i, k in enumerate(n_centers):
             centers = np.asarray(
                 balanced_kmeans(jax.random.fold_in(key, 100 + i), X, int(k)),

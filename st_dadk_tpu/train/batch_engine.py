@@ -1135,7 +1135,9 @@ def _init_lane_carries(cfg: ExperimentConfig, setups: List, keys,
             [coords_list[i] for i in idx], keys[idx_np],
             rng_states=[setups[i].np_rng_state for i in idx],
             device_out=True,
-            em_dtype=cfg.extra.get("init_em_dtype"))
+            em_dtype=cfg.extra.get("init_em_dtype"),
+            gmm_n_init=cfg.extra.get("init_gmm_n_init"),
+            subsample=cfg.extra.get("init_subsample"))
         spec_real = dataclasses.replace(
             setups[idx[0]].spec, k_spatial_centers=tuple(klist))
         carry_g, consts_g = prepare_carry_batch(

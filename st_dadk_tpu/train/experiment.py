@@ -301,7 +301,9 @@ class ExperimentSetup:
             centers, bandwidths = init_spatial_centers(
                 cfg.spatial_init_method, cfg.k_spatial_centers, train_coords,
                 key=jax.random.PRNGKey(self.experiment_seed),
-                em_dtype=cfg.extra.get("init_em_dtype"))
+                em_dtype=cfg.extra.get("init_em_dtype"),
+                gmm_n_init=cfg.extra.get("init_gmm_n_init"),
+                subsample=cfg.extra.get("init_subsample"))
             self.finish_model(centers, bandwidths)
 
     def finish_model(self, centers, bandwidths) -> None:

@@ -238,3 +238,62 @@ class TestKActiveMasking:
         c2 = kmeans_plus_plus(jax.random.PRNGKey(9), X, 11,
                               k_active=jnp.asarray(5, jnp.int32))
         np.testing.assert_array_equal(np.asarray(c2)[:5], np.asarray(c1))
+
+
+class TestInitCostKnobs:
+    """Opt-in cost knobs (cfg.extra init_gmm_n_init / init_subsample): the
+    overrides must produce valid inits, honor the cap, and keep the
+    cross-engine (sequential vs batched) equality contract when both
+    engines get the same knob values."""
+
+    def test_n_init_1_valid_and_differs(self):
+        X = _two_clusters(600, 1)
+        c3, b3 = init_spatial_centers("gmm", [9], X,
+                                      key=jax.random.PRNGKey(5))
+        c1, b1 = init_spatial_centers("gmm", [9], X,
+                                      key=jax.random.PRNGKey(5),
+                                      gmm_n_init=1)
+        assert c1.shape == (9, 2) and np.all(np.isfinite(c1))
+        assert np.all(b1 > 0)
+        # n_init=1 keeps the FIRST restart instead of the best of 3; on a
+        # well-separated mixture both land on the clusters
+        assert np.abs(np.sort(c1[:, 0]) - np.sort(c3[:, 0])).mean() < 0.2
+
+    def test_subsample_cap_is_honored(self):
+        from st_dadk_tpu.ops.init_centers import _subsample
+        X = _two_clusters(5000, 2)
+        np.random.seed(0)
+        sub = _subsample(X, 512)
+        assert sub.shape == (512, 2)
+        np.random.seed(0)
+        assert _subsample(X).shape == X.shape  # default cap 10k > n
+
+    def test_subsample_knob_end_to_end(self):
+        X = _two_clusters(4000, 3)
+        np.random.seed(7)
+        c, bw = init_spatial_centers("gmm", [4], X,
+                                     key=jax.random.PRNGKey(7),
+                                     subsample=256)
+        assert c.shape == (4, 2) and np.all(np.isfinite(c))
+        assert np.all(bw > 0)
+
+    def test_cross_engine_equality_with_knobs(self):
+        from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
+        X = _two_clusters(3000, 4)
+        lanes = [X, _two_clusters(3000, 5)]
+        keys = jax.random.split(jax.random.PRNGKey(11), 2)
+        seq, states = [], []
+        for i in range(2):
+            np.random.seed(100 + i)
+            states.append(np.random.get_state())
+            seq.append(init_spatial_centers("gmm", [9], lanes[i],
+                                            key=keys[i], gmm_n_init=1,
+                                            subsample=512))
+        batched = init_spatial_centers_batch("gmm", [9], lanes, keys,
+                                             rng_states=states,
+                                             gmm_n_init=1, subsample=512)
+        for i in range(2):
+            np.testing.assert_allclose(batched[i][0], seq[i][0],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(batched[i][1], seq[i][1],
+                                       rtol=1e-5, atol=1e-6)
