@@ -81,8 +81,14 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
         return (key, centers, d2), None
 
     key, sub = jax.random.split(key)
+    # Both arms draw via choice(p=...)'s inverse-CDF so the weighted program
+    # with 0/1 padding weights makes the SAME draws as the unweighted one on
+    # the real prefix (appended zero-prob rows leave every real cumsum value
+    # and the total bit-identical) — a lane stacked into an unequal-size
+    # padded batch seeds exactly like its own standalone fit.
     if w is None:
-        first = X[jax.random.randint(sub, (), 0, n)]
+        ones = jnp.ones((n,), X.dtype)
+        first = X[jax.random.choice(sub, n, p=ones / ones.sum())]
     else:
         first = X[jax.random.choice(sub, n, p=w / jnp.maximum(w.sum(), 1e-12))]
     centers0 = jnp.tile(first[None], (k, 1))

@@ -176,9 +176,7 @@ class TestCrossEngineInitEquality:
     def test_weighted_padding_invariance(self):
         """Zero-weight padding rows must not change the weighted EM / OT
         results at all — the property the unequal-size stacked path relies
-        on. (Exact cross-engine equality holds only for equal-size lanes:
-        the weighted k-means++ first draw is a different RNG call than the
-        unweighted one, so padded and unpadded fits seed differently.)"""
+        on."""
         from st_dadk_tpu.ops.init_centers import balanced_kmeans
         X = jnp.asarray(_two_clusters(400, 5))
         w = jnp.ones((400,))
@@ -297,3 +295,38 @@ class TestInitCostKnobs:
                                        rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(batched[i][1], seq[i][1],
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestSeedingBitEquality:
+    """The weighted k-means++ program with 0/1 padding weights must make the
+    SAME draws as the unweighted program on the real prefix — this closes
+    the last cross-engine RNG asymmetry: a lane stacked into an
+    unequal-size padded batch now seeds bit-identically to its own
+    standalone (unweighted) fit."""
+
+    def test_kmeans_pp_weighted_ones_equals_unweighted(self):
+        X = jnp.asarray(_two_clusters(400, 6))
+        for k in (4, 9):
+            c_un = kmeans_plus_plus(jax.random.PRNGKey(13), X, k)
+            c_w = kmeans_plus_plus(jax.random.PRNGKey(13), X, k,
+                                   w=jnp.ones((400,)))
+            np.testing.assert_array_equal(np.asarray(c_w), np.asarray(c_un))
+
+    def test_kmeans_pp_padded_equals_standalone(self):
+        X = jnp.asarray(_two_clusters(400, 6))
+        X_pad = jnp.concatenate([X, jnp.full((88, 2), 3.3)], axis=0)
+        w_pad = jnp.concatenate([jnp.ones((400,)), jnp.zeros((88,))])
+        c_un = kmeans_plus_plus(jax.random.PRNGKey(14), X, 9)
+        c_pad = kmeans_plus_plus(jax.random.PRNGKey(14), X_pad, 9, w=w_pad)
+        np.testing.assert_array_equal(np.asarray(c_pad), np.asarray(c_un))
+
+    def test_gmm_padded_equals_standalone_unweighted(self):
+        X = jnp.asarray(_two_clusters(500, 8))
+        X_pad = jnp.concatenate([X, jnp.full((60, 2), 9.9)], axis=0)
+        w_pad = jnp.concatenate([jnp.ones((500,)), jnp.zeros((60,))])
+        m1, s1 = gmm_spherical(jax.random.PRNGKey(15), X, 4)
+        m2, s2 = gmm_spherical(jax.random.PRNGKey(15), X_pad, 4, w=w_pad)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-6)
