@@ -48,6 +48,10 @@ BASELINE_FITS_PER_HOUR_1CORE = 35.0
 BASELINE_JOBLIB10_PROXY = BASELINE_FITS_PER_HOUR_1CORE * 10.0
 MIN_WINDOW_SECONDS = float(os.environ.get("BENCH_WINDOW_SECONDS", 90.0))
 N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", 5))
+# non-default protocols (e.g. the long-horizon stability check) write their
+# evidence elsewhere so the headline bench_details.json is never clobbered
+DETAILS_PATH = Path(os.environ.get("BENCH_DETAILS",
+                                   str(REPO / "bench_details.json")))
 
 
 def log(msg: str) -> None:
@@ -129,7 +133,7 @@ def main() -> None:
                 f"-> {rate:.1f} fits/hr")
             # incremental dump: if a later window stalls (tunnel hiccup),
             # the completed windows' evidence survives on disk
-            with open(REPO / "bench_details.json", "w") as f:
+            with open(DETAILS_PATH, "w") as f:
                 json.dump({"M": M, "windows": windows, "partial": True},
                           f, indent=2)
 
@@ -158,7 +162,7 @@ def main() -> None:
             "baseline_1core_fits_per_hour": BASELINE_FITS_PER_HOUR_1CORE,
             "baseline_joblib10_proxy": BASELINE_JOBLIB10_PROXY,
         }
-        with open(REPO / "bench_details.json", "w") as f:
+        with open(DETAILS_PATH, "w") as f:
             json.dump(details, f, indent=2)
 
         print(json.dumps({

@@ -27,7 +27,8 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from st_dadk_tpu.ops.init_centers import (gmm_spherical,  # noqa: E402
-                                          kmeans_plus_plus)
+                                          kmeans_plus_plus,
+                                          kmeans_plus_plus_rounds)
 
 M = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 N = 10_000
@@ -88,6 +89,22 @@ def main():
         timed(f"kmeans++ k={KS[-1]} unroll={u}",
               seed_unroll(KS[-1], u), keys, X_b)
 
+    # low-depth batched seeding (init_seed_rounds knob): R rounds of i.i.d.
+    # d2-weighted draws instead of k-1 sequential steps
+    def seed_rounds_only(k, r):
+        @jax.jit
+        def run(keys_b, X_b):
+            def lane(key, X):
+                subs = jax.random.split(key, N_INIT)
+                return jax.vmap(lambda s: kmeans_plus_plus_rounds(
+                    s, X, k, rounds=r))(subs)
+            return jax.vmap(lane)(keys_b, X_b)
+        return run
+
+    for r in (4, 8, 16):
+        timed(f"kmeans++ ROUNDS k={KS[-1]} rounds={r}",
+              seed_rounds_only(KS[-1], r), keys, X_b)
+
     # full gmm per resolution
     for k in KS:
         fn = jax.jit(jax.vmap(partial(gmm_spherical, k=k)),
@@ -103,6 +120,11 @@ def main():
     # same with bf16 EM storage (init_em_dtype: bfloat16)
     fn16 = _batched_gmm_multi(KS, False, "bfloat16")
     timed("one-dispatch multi-resolution (bf16 EM)", fn16, keys, X_b, None)
+
+    # same with low-depth seeding (init_seed_rounds: 8)
+    fnr = _batched_gmm_multi(KS, False, None, None, 8)
+    timed("one-dispatch multi-resolution (seed_rounds=8)",
+          fnr, keys, X_b, None)
 
 
 if __name__ == "__main__":

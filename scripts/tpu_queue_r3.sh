@@ -33,7 +33,16 @@ step ab_n_init python scripts/ab_paired.py \
 step ab_subsample python scripts/ab_paired.py \
   --b init_subsample=4096 --out results/ab_subsample_r3
 
+# 5b. low-depth seeding A/B (k-1 sequential draws -> 8 rounds)
+step ab_seed_rounds python scripts/ab_paired.py \
+  --b init_seed_rounds=8 --out results/ab_seed_rounds_r3
+
 # 6. current-code bench (5x90 s protocol)
 step bench python bench.py
+
+# 7. long-horizon stability check (3 x 10 min windows: is the 23.7k-29.9k
+# within-run drift tunnel noise or a real thermal ramp?)
+step bench_long env BENCH_WINDOW_SECONDS=600 BENCH_WINDOWS=3 \
+  BENCH_DETAILS=results/tpu_queue_r3/bench_long_details.json python bench.py
 
 echo "=== queue done $(date) ===" | tee -a "$LOGDIR/queue.log"

@@ -151,6 +151,9 @@ class ExperimentConfig:
     #   init_gmm_n_init: override the GMM's k-means++ restart count (ref: 3)
     #   init_subsample:  override the data-adaptive init subsample cap (ref:
     #                    10_000; smaller = cheaper EM, different np stream)
+    #   init_seed_rounds: R swaps exact sequential k-means++ seeding for the
+    #                    R-round batched draw (kmeans_plus_plus_rounds) —
+    #                    sequential depth k-1 -> R
     #   shuffle:         'perm' restores the sort-based epoch permutation
     extra: Dict[str, Any] = field(default_factory=dict)
 

@@ -102,18 +102,89 @@ def kmeans_plus_plus(key: jax.Array, X: jax.Array, k: int,
     return jnp.roll(centers, k_active, axis=0)
 
 
+def kmeans_plus_plus_rounds(key: jax.Array, X: jax.Array, k: int,
+                            rounds: int = 8,
+                            w: Optional[jax.Array] = None,
+                            k_active: Optional[jax.Array] = None
+                            ) -> jax.Array:
+    """Low-depth k-means++ variant: (k, d) seeds in `rounds` rounds.
+
+    The exact seeding (`kmeans_plus_plus`) is a k-1-step sequential chain —
+    each draw conditions on all previous ones — which on TPU costs ~k scan
+    iterations of latency regardless of how small the per-step work is.
+    Here the k-1 follow-up centers are drawn in `rounds` batches: within a
+    round, candidates are drawn i.i.d. from the CURRENT d2-weighted
+    distribution (k-means||-style oversampling, Bahmani et al. 2012), and d2
+    is updated once per round. Sequential depth drops from k-1 to `rounds`.
+
+    This is a documented approximation, NOT the reference's seeding: within
+    a round, draws don't see each other, so near-duplicate seeds are
+    possible — the downstream EM/Lloyd polish absorbs this (A/B-measured
+    before any default change; see scripts/ab_paired.py). Same `w` padding
+    contract as `kmeans_plus_plus` (zero-weight rows never selected; padded
+    and unweighted programs draw bit-equally). `k_active` masks candidates
+    [k_active:] out of every d2 update (rows [k_active:] are junk), but —
+    unlike the exact path — the round split depends on the STATIC k, so the
+    active prefix does NOT bit-match a standalone program of smaller k;
+    ragged-k stacking under this knob is self-consistent, not
+    sequential-equal.
+    """
+    n = X.shape[0]
+    if k_active is None:
+        k_active = jnp.asarray(k, jnp.int32)
+    rounds = max(1, min(int(rounds), max(k - 1, 1)))
+
+    key, sub = jax.random.split(key)
+    ww = jnp.ones((n,), X.dtype) if w is None else w
+    first = X[jax.random.choice(sub, n, p=ww / jnp.maximum(ww.sum(), 1e-12))]
+    d2 = jnp.sum((X - first) ** 2, axis=1)
+
+    # static near-equal split of the k-1 follow-ups across rounds
+    base, rem = divmod(k - 1, rounds)
+    sizes = [base + (1 if r < rem else 0) for r in range(rounds)]
+    parts = [first[None]]
+    offset = 1                                    # global center index
+    for b in sizes:
+        if b == 0:
+            continue
+        key, sub = jax.random.split(key)
+        scores = d2 if w is None else d2 * w
+        probs = scores / jnp.maximum(scores.sum(), 1e-12)
+        idx = jax.random.choice(sub, n, shape=(b,), p=probs, replace=True)
+        cand = X[idx]                                           # (b, d)
+        live = (offset + jnp.arange(b)) < k_active              # (b,)
+        cand_d2 = jnp.sum((X[:, None, :] - cand[None]) ** 2, -1)  # (n, b)
+        cand_d2 = jnp.where(live[None], cand_d2, jnp.inf)
+        d2 = jnp.minimum(d2, jnp.min(cand_d2, axis=1))
+        parts.append(cand)
+        offset += b
+    return jnp.concatenate(parts, axis=0)
+
+
+def _seed_centers(subkey, X, k, w=None, k_active=None,
+                  seed_rounds: Optional[int] = None) -> jax.Array:
+    """Dispatch between exact sequential k-means++ (reference parity,
+    default) and the low-depth rounds variant (opt-in cost knob)."""
+    if seed_rounds is None:
+        return kmeans_plus_plus(subkey, X, k, w=w, k_active=k_active)
+    return kmeans_plus_plus_rounds(subkey, X, k, rounds=int(seed_rounds),
+                                   w=w, k_active=k_active)
+
+
 # ---------------------------------------------------------------------------
 # Spherical GMM EM (jittable, vmappable)
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(2, 3, 4),
-         static_argnames=("k", "max_iter", "n_init", "em_dtype"))
+         static_argnames=("k", "max_iter", "n_init", "em_dtype",
+                          "seed_rounds"))
 def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
                   max_iter: int = 100, n_init: int = 3,
                   reg_covar: float = 1e-6, tol: float = 1e-3,
                   w: Optional[jax.Array] = None,
                   k_active: Optional[jax.Array] = None,
-                  em_dtype: Optional[str] = None
+                  em_dtype: Optional[str] = None,
+                  seed_rounds: Optional[int] = None
                   ) -> Tuple[jax.Array, jax.Array]:
     """Fit a spherical GMM; returns (means (k,2), sigmas (k,)).
 
@@ -144,6 +215,10 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
     statistical perturbation of the same order as a different k-means++
     draw (A/B-measured CRPS-neutral; see scripts/ab_kmeans_divergence.py).
     Default None keeps the exact f32 program.
+
+    Optional `seed_rounds=R` swaps the exact sequential k-means++ seeding
+    for the R-round batched variant (`kmeans_plus_plus_rounds`) — an
+    opt-in cost knob; default None keeps reference-parity seeding.
     """
     n, d = X.shape
     big = jnp.bfloat16 if em_dtype == "bfloat16" else jnp.float32
@@ -162,7 +237,8 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
         return jnp.sum(diff * diff, axis=-1).astype(big)  # (n, k)
 
     def em_once(subkey):
-        means0 = kmeans_plus_plus(subkey, X, k, w=w, k_active=k_active)
+        means0 = _seed_centers(subkey, X, k, w=w, k_active=k_active,
+                               seed_rounds=seed_rounds)
         if w is None:
             var0 = jnp.var(X) * jnp.ones((k,)) + reg_covar
         else:
@@ -236,12 +312,15 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
 # Balanced k-means (jittable, vmappable)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6),
+         static_argnames=("k", "max_iter", "sinkhorn_iters", "eps_scale",
+                          "n_init", "seed_rounds"))
 def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
                     max_iter: int = 50, sinkhorn_iters: int = 40,
                     eps_scale: float = 0.02, n_init: int = 3,
                     w: Optional[jax.Array] = None,
-                    k_active: Optional[jax.Array] = None) -> jax.Array:
+                    k_active: Optional[jax.Array] = None,
+                    seed_rounds: Optional[int] = None) -> jax.Array:
     """Balanced k-means via Sinkhorn optimal transport. Returns centers (k, 2).
 
     Each Lloyd iteration solves an entropically regularized OT problem
@@ -314,7 +393,8 @@ def balanced_kmeans(key: jax.Array, X: jax.Array, k: int,
             mass = P.sum(axis=0) + 1e-12                      # ~1/k each
             return (P.T @ X) / mass[:, None], None
 
-        centers0 = kmeans_plus_plus(subkey, X, k, w=w, k_active=k_active)
+        centers0 = _seed_centers(subkey, X, k, w=w, k_active=k_active,
+                                 seed_rounds=seed_rounds)
         centers, _ = jax.lax.scan(body, centers0, None, length=max_iter)
         d2 = pairwise(centers)
         cost = jnp.sum(ot_plan(d2) * d2)
@@ -373,7 +453,8 @@ _BATCH_FIT_CACHE = {}
 
 def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
                        em_dtype: Optional[str] = None,
-                       n_init: Optional[int] = None):
+                       n_init: Optional[int] = None,
+                       seed_rounds: Optional[int] = None):
     """All resolutions of a batched GMM init as ONE device program
     (per-resolution dispatches each pay a tunnel round trip).
 
@@ -384,7 +465,7 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
     25/81 up to 121 costs ~1.6x traffic, which beats the saved while_loop
     latency (1.05 s merged vs 0.64 s sequential per M=16 batch)."""
     ni = 3 if n_init is None else int(n_init)
-    key = ("gmm_multi", ks, weighted, em_dtype, ni)
+    key = ("gmm_multi", ks, weighted, em_dtype, ni, seed_rounds)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:
         def program(keys_b, X_b, w_b):
@@ -394,12 +475,14 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
                 if weighted:
                     out.append(jax.vmap(
                         lambda kk, X, ww, k=k: gmm_spherical(
-                            kk, X, k, w=ww, em_dtype=em_dtype, n_init=ni)
+                            kk, X, k, w=ww, em_dtype=em_dtype, n_init=ni,
+                            seed_rounds=seed_rounds)
                     )(sub, X_b, w_b))
                 else:
                     out.append(jax.vmap(
                         lambda kk, X, k=k: gmm_spherical(
-                            kk, X, k, em_dtype=em_dtype, n_init=ni)
+                            kk, X, k, em_dtype=em_dtype, n_init=ni,
+                            seed_rounds=seed_rounds)
                     )(sub, X_b))
             return tuple(out)
         fn = jax.jit(program)
@@ -407,10 +490,11 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
     return fn
 
 
-def _batched_bkm_multi(ks: Tuple[int, ...], weighted: bool):
+def _batched_bkm_multi(ks: Tuple[int, ...], weighted: bool,
+                       seed_rounds: Optional[int] = None):
     """One-dispatch multi-resolution balanced k-means (see _batched_gmm_multi
     for why resolutions are sequential, not k_active-merged)."""
-    key = ("bkm_multi", ks, weighted)
+    key = ("bkm_multi", ks, weighted, seed_rounds)
     fn = _BATCH_FIT_CACHE.get(key)
     if fn is None:
         def program(keys_b, X_b, w_b):
@@ -420,11 +504,13 @@ def _batched_bkm_multi(ks: Tuple[int, ...], weighted: bool):
                     kk, 100 + i))(keys_b)
                 if weighted:
                     out.append(jax.vmap(
-                        lambda kk, X, ww, k=k: balanced_kmeans(kk, X, k, w=ww)
+                        lambda kk, X, ww, k=k: balanced_kmeans(
+                            kk, X, k, w=ww, seed_rounds=seed_rounds)
                     )(sub, X_b, w_b))
                 else:
                     out.append(jax.vmap(
-                        lambda kk, X, k=k: balanced_kmeans(kk, X, k)
+                        lambda kk, X, k=k: balanced_kmeans(
+                            kk, X, k, seed_rounds=seed_rounds)
                     )(sub, X_b))
             return tuple(out)
         fn = jax.jit(program)
@@ -461,6 +547,7 @@ def init_spatial_centers_batch(
     em_dtype: Optional[str] = None,
     gmm_n_init: Optional[int] = None,
     subsample: Optional[int] = None,
+    seed_rounds: Optional[int] = None,
 ):
     """Data-adaptive initialization for a whole experiment batch at once.
 
@@ -479,10 +566,12 @@ def init_spatial_centers_batch(
     (prepare_carry_batch) runs on device, so pulling centers to host only to
     re-upload them cost several tunnel round trips per batch for nothing.
 
-    `gmm_n_init` / `subsample` override the reference-parity GMM restart
-    count (3) and init subsample cap (10k) — opt-in cost knobs (cfg.extra
-    init_gmm_n_init / init_subsample) whose end-metric effect is measured
-    with scripts/ab_paired.py before any default changes.
+    `gmm_n_init` / `subsample` / `seed_rounds` override the reference-parity
+    GMM restart count (3), the init subsample cap (10k), and the exact
+    sequential k-means++ seeding (None → R-round batched seeding) — opt-in
+    cost knobs (cfg.extra init_gmm_n_init / init_subsample /
+    init_seed_rounds) whose end-metric effect is measured with
+    scripts/ab_paired.py before any default changes.
     """
     from st_dadk_tpu.utils.seed import GLOBAL_NP_RNG_LOCK
 
@@ -551,15 +640,16 @@ def init_spatial_centers_batch(
         if method == "gmm":
             for k, (means_b, sig_b) in zip(
                     ks, _batched_gmm_multi(ks, w_b is not None, em_dtype,
-                                           gmm_n_init)(keys, X_b, w_b)):
+                                           gmm_n_init, seed_rounds
+                                           )(keys, X_b, w_b)):
                 bw_min = 0.25 * uniform_bandwidth_for(k)
                 cparts.append(means_b)
                 bparts.append(jnp.maximum(4.23 * 2.5 * sig_b, bw_min
                                           ).astype(jnp.float32))
         elif method == "kmeans_balanced":
             for k, centers_b in zip(
-                    ks, _batched_bkm_multi(ks, w_b is not None)(keys, X_b,
-                                                                w_b)):
+                    ks, _batched_bkm_multi(ks, w_b is not None, seed_rounds
+                                           )(keys, X_b, w_b)):
                 cparts.append(centers_b)
                 if k == 1:
                     bparts.append(jnp.full(
@@ -573,7 +663,7 @@ def init_spatial_centers_batch(
                 jnp.concatenate(bparts, axis=1))
     if method == "gmm":
         results = _batched_gmm_multi(ks, w_b is not None, em_dtype,
-                                     gmm_n_init)(keys, X_b, w_b)
+                                     gmm_n_init, seed_rounds)(keys, X_b, w_b)
         for k, (means_b, sig_b) in zip(ks, results):
             means_np = np.asarray(means_b, np.float32)
             sig_np = np.asarray(sig_b)
@@ -583,7 +673,8 @@ def init_spatial_centers_batch(
                              bw_min, np.inf).astype(np.float32)
                 per_lane[i].append((means_np[i], bw))
     elif method == "kmeans_balanced":
-        results = _batched_bkm_multi(ks, w_b is not None)(keys, X_b, w_b)
+        results = _batched_bkm_multi(ks, w_b is not None,
+                                     seed_rounds)(keys, X_b, w_b)
         for k, centers_b in zip(ks, results):
             centers_np = np.asarray(centers_b, np.float32)
             for i in range(M):
@@ -608,6 +699,7 @@ def init_spatial_centers(
     em_dtype: Optional[str] = None,
     gmm_n_init: Optional[int] = None,
     subsample: Optional[int] = None,
+    seed_rounds: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (centers (sum_k, 2), bandwidths (sum_k,)) for any init method.
 
@@ -633,7 +725,7 @@ def init_spatial_centers(
         for i, k in enumerate(n_centers):
             means, sigmas = gmm_spherical(jax.random.fold_in(key, i), X,
                                           int(k), em_dtype=em_dtype,
-                                          n_init=ni)
+                                          n_init=ni, seed_rounds=seed_rounds)
             centers = np.asarray(means, np.float32)
             bw_raw = 4.23 * 2.5 * np.asarray(sigmas)
             bw_min = 0.25 * uniform_bandwidth_for(int(k))
@@ -661,7 +753,8 @@ def init_spatial_centers(
         X = jnp.asarray(_subsample(train_coords, subsample), jnp.float32)
         for i, k in enumerate(n_centers):
             centers = np.asarray(
-                balanced_kmeans(jax.random.fold_in(key, 100 + i), X, int(k)),
+                balanced_kmeans(jax.random.fold_in(key, 100 + i), X, int(k),
+                                seed_rounds=seed_rounds),
                 np.float32)
             bw = _nn_bandwidths(centers)
             if int(k) == 1:

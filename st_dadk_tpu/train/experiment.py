@@ -303,7 +303,8 @@ class ExperimentSetup:
                 key=jax.random.PRNGKey(self.experiment_seed),
                 em_dtype=cfg.extra.get("init_em_dtype"),
                 gmm_n_init=cfg.extra.get("init_gmm_n_init"),
-                subsample=cfg.extra.get("init_subsample"))
+                subsample=cfg.extra.get("init_subsample"),
+                seed_rounds=cfg.extra.get("init_seed_rounds"))
             self.finish_model(centers, bandwidths)
 
     def finish_model(self, centers, bandwidths) -> None:

@@ -330,3 +330,97 @@ class TestSeedingBitEquality:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestSeedRounds:
+    """Opt-in low-depth seeding (cfg.extra init_seed_rounds): the R-round
+    batched k-means++ variant must keep the padding bit-equality contract,
+    mask k_active correctly, seed well enough for EM to recover structure,
+    and stay cross-engine equal when both engines get the knob."""
+
+    def test_rounds_shape_and_spread(self):
+        from st_dadk_tpu.ops.init_centers import kmeans_plus_plus_rounds
+        X = jnp.asarray(_two_clusters(400, 0))
+        c = np.asarray(kmeans_plus_plus_rounds(jax.random.PRNGKey(0), X, 9,
+                                               rounds=4))
+        assert c.shape == (9, 2) and np.isfinite(c).all()
+        # every seed is an actual data point
+        d = ((c[:, None] - np.asarray(X)[None]) ** 2).sum(-1).min(1)
+        assert d.max() == 0.0
+        # both clusters get at least one seed (centroids 0.7 apart)
+        sums = c.sum(1)
+        assert sums.min() < 1.0 < sums.max()
+
+    def test_rounds_padded_equals_standalone(self):
+        from st_dadk_tpu.ops.init_centers import kmeans_plus_plus_rounds
+        X = jnp.asarray(_two_clusters(400, 6))
+        X_pad = jnp.concatenate([X, jnp.full((88, 2), 3.3)], axis=0)
+        w_pad = jnp.concatenate([jnp.ones((400,)), jnp.zeros((88,))])
+        c_un = kmeans_plus_plus_rounds(jax.random.PRNGKey(14), X, 9,
+                                       rounds=4)
+        c_pad = kmeans_plus_plus_rounds(jax.random.PRNGKey(14), X_pad, 9,
+                                        rounds=4, w=w_pad)
+        np.testing.assert_array_equal(np.asarray(c_pad), np.asarray(c_un))
+
+    def test_rounds_k_active_leading_rows_match_full(self):
+        # with one candidate per round, rows with global index < k_active
+        # see only live predecessors, so they match the unmasked program
+        from st_dadk_tpu.ops.init_centers import kmeans_plus_plus_rounds
+        X = jnp.asarray(_two_clusters(300, 7))
+        full = kmeans_plus_plus_rounds(jax.random.PRNGKey(3), X, 8, rounds=7)
+        masked = kmeans_plus_plus_rounds(jax.random.PRNGKey(3), X, 8,
+                                         rounds=7,
+                                         k_active=jnp.asarray(3, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(masked)[:3],
+                                      np.asarray(full)[:3])
+
+    def test_gmm_seed_rounds_recovers_clusters(self):
+        X = jnp.asarray(_two_clusters(800, 9))
+        means, sigmas = gmm_spherical(jax.random.PRNGKey(2), X, 2,
+                                      max_iter=50, seed_rounds=4)
+        got = sorted(np.asarray(means).sum(axis=1))
+        assert abs(got[0] - 0.5) < 0.1 and abs(got[1] - 1.5) < 0.1
+        assert np.isfinite(np.asarray(sigmas)).all()
+
+    def test_balanced_kmeans_seed_rounds(self):
+        X = jnp.asarray(_two_clusters(600, 10))
+        centers = np.asarray(balanced_kmeans(jax.random.PRNGKey(4), X, 4,
+                                             max_iter=30, seed_rounds=3))
+        assert np.isfinite(centers).all()
+        # rounds-seeding may start near-duplicate seeds (the documented
+        # trade-off), so don't demand near-equal nearest-center occupancy —
+        # just that every center ends up used and inside the data range
+        d = ((np.asarray(X)[:, None] - centers[None]) ** 2).sum(-1)
+        counts = np.bincount(d.argmin(1), minlength=4)
+        assert counts.min() > 0
+        lo, hi = np.asarray(X).min() - 0.1, np.asarray(X).max() + 0.1
+        assert (centers >= lo).all() and (centers <= hi).all()
+
+    def test_k1_degenerate(self):
+        from st_dadk_tpu.ops.init_centers import kmeans_plus_plus_rounds
+        X = jnp.asarray(_two_clusters(100, 11))
+        c = np.asarray(kmeans_plus_plus_rounds(jax.random.PRNGKey(5), X, 1,
+                                               rounds=8))
+        assert c.shape == (1, 2) and np.isfinite(c).all()
+
+    def test_cross_engine_equality_with_seed_rounds(self):
+        from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
+        X = _two_clusters(3000, 12)
+        lanes = [X, _two_clusters(3000, 13)]
+        keys = jax.random.split(jax.random.PRNGKey(21), 2)
+        seq, states = [], []
+        for i in range(2):
+            np.random.seed(200 + i)
+            states.append(np.random.get_state())
+            seq.append(init_spatial_centers("gmm", [9], lanes[i],
+                                            key=keys[i], gmm_n_init=1,
+                                            subsample=512, seed_rounds=4))
+        batched = init_spatial_centers_batch("gmm", [9], lanes, keys,
+                                             rng_states=states,
+                                             gmm_n_init=1, subsample=512,
+                                             seed_rounds=4)
+        for i in range(2):
+            np.testing.assert_allclose(batched[i][0], seq[i][0],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(batched[i][1], seq[i][1],
+                                       rtol=1e-5, atol=1e-6)
