@@ -52,6 +52,11 @@ N_WINDOWS = int(os.environ.get("BENCH_WINDOWS", 5))
 # evidence elsewhere so the headline bench_details.json is never clobbered
 DETAILS_PATH = Path(os.environ.get("BENCH_DETAILS",
                                    str(REPO / "bench_details.json")))
+# BENCH_LANE_WIDTH=w splits each M-fit workload into pipelined w-lane
+# batches — the same policy run_lane_jobs applies in real sweeps (measured
+# single-chip sweet spot is 16 lanes; docs/BENCHMARKS.md). 0 = one M-lane
+# batch per dispatch (the raw lane-width measurement).
+LANE_WIDTH = int(os.environ.get("BENCH_LANE_WIDTH", 0))
 
 
 def log(msg: str) -> None:
@@ -116,8 +121,13 @@ def main() -> None:
                 # run_job_batches) until the window is long enough
                 bi = 0
                 while True:
-                    yield jobs_for(seed_base + wi * 100000 + bi * 1000,
-                                   tmp / f"w{wi}b{bi}")
+                    jobs = jobs_for(seed_base + wi * 100000 + bi * 1000,
+                                    tmp / f"w{wi}b{bi}")
+                    if LANE_WIDTH and LANE_WIDTH < len(jobs):
+                        for c in range(0, len(jobs), LANE_WIDTH):
+                            yield jobs[c:c + LANE_WIDTH]
+                    else:
+                        yield jobs
                     bi += 1
                     if time.time() - t0 >= MIN_WINDOW_SECONDS:
                         return
@@ -153,6 +163,7 @@ def main() -> None:
 
         details = {
             "M": M,
+            "lane_width": LANE_WIDTH or M,
             "protocol": f"median of {N_WINDOWS} windows, each >= "
                         f"{MIN_WINDOW_SECONDS:.0f}s of whole pipelined batches",
             "windows": windows,

@@ -45,4 +45,10 @@ step bench python bench.py
 step bench_long env BENCH_WINDOW_SECONDS=600 BENCH_WINDOWS=3 \
   BENCH_DETAILS=results/tpu_queue_r3/bench_long_details.json python bench.py
 
+# 8. 32-fit workload at the engine's default auto-split policy (2 pipelined
+# 16-lane batches) — the honest "M=32 >= M=16" evidence (VERDICT item 1)
+step bench_m32_split env BENCH_LANE_WIDTH=16 \
+  BENCH_DETAILS=results/tpu_queue_r3/bench_m32_split_details.json \
+  python bench.py 32
+
 echo "=== queue done $(date) ===" | tee -a "$LOGDIR/queue.log"
