@@ -529,7 +529,9 @@ def _nn_bandwidths_jnp(centers_b: jax.Array, k: int, n_neighbors: int = 4,
         return jnp.full((centers_b.shape[0], 1), scale, jnp.float32)
     diff = centers_b[:, :, None, :] - centers_b[:, None, :, :]
     dist = jnp.sqrt(jnp.sum(diff * diff, -1))
-    dist = dist + jnp.eye(k, dtype=dist.dtype)[None] * jnp.inf
+    # mask the diagonal via where, NOT `dist + eye*inf`: eye*inf puts
+    # 0*inf = NaN on every OFF-diagonal entry and poisons all bandwidths
+    dist = jnp.where(jnp.eye(k, dtype=bool)[None], jnp.inf, dist)
     nn = min(n_neighbors, k - 1)
     nearest = -jax.lax.top_k(-dist, nn)[0]            # (M, k, nn) smallest
     bw = nearest.mean(axis=-1) * scale

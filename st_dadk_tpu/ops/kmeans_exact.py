@@ -241,8 +241,12 @@ def _solve_restricted(cost_u, supplies, caps, rows, cols):
         return None
     flows = np.zeros((u, k), np.int64)
     np.add.at(flows, (rows, cols), np.round(res.x).astype(np.int64))
+    # HiGHS' eqlin.marginals ARE the LP duals y with c_ij - y_i - z_j >= 0
+    # at optimum (verified: basic arcs get exactly-zero reduced cost with
+    # this sign, and negating them breaks the column-generation
+    # certificate — tests/test_kmeans_exact.py::test_column_generation_*)
     duals = res.eqlin.marginals
-    return flows, -duals[:u], -duals[u:]
+    return flows, duals[:u], duals[u:]
 
 
 def _greedy_feasible_arcs(cost_u: np.ndarray, supplies: np.ndarray,

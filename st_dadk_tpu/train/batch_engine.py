@@ -1313,6 +1313,11 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
                 cfg, spec_model, (serve_d, consts_b), setups, len(setups))
     except Exception as e:
         print(f"[WARNING] batched eval failed, falling back per-lane: {e}")
+        if serve_host is None:
+            # the params pull was skipped because the device eval was going
+            # to provide all metrics; the per-lane fallback DOES consume
+            # params, so pull them now (carry_b is still alive)
+            serve_host = pull_tree(select_serving_device(carry_b)[0], sl)
 
     # -- per-lane finalize ------------------------------------------------------
     results = []

@@ -91,6 +91,26 @@ class TestBatchEngine:
         assert len(stats["values"]) == 4
         assert stats["min"] <= stats["mean"] <= stats["max"]
 
+    def test_eval_fallback_repulls_params(self, toy_csv, tmp_path,
+                                          monkeypatch, capsys):
+        """If the batched device eval fails, the per-lane fallback must
+        still produce real metrics even when the params pull was skipped
+        (metric-only runs pull no params up front — regression for the
+        fallback evaluating with empty params)."""
+        import st_dadk_tpu.train.batch_engine as be
+
+        def boom(*a, **kw):
+            raise RuntimeError("synthetic eval failure")
+
+        monkeypatch.setattr(be, "_batched_eval_device", boom)
+        cfg = _cfg(toy_csv, save_artifacts=False)   # metric-only: no pull
+        results = run_experiment_batch(cfg, [1, 2], tmp_path / "fb",
+                                       epochs_chunk=8)
+        assert "falling back per-lane" in capsys.readouterr().out
+        assert len(results) == 2
+        for r in results:
+            assert np.isfinite(r["test_rmse"])
+
     def test_skip_existing(self, toy_csv, tmp_path):
         cfg = _cfg(toy_csv, n_experiments=2)
         out = tmp_path / "sk"

@@ -332,6 +332,32 @@ class TestSeedingBitEquality:
                                    rtol=1e-5, atol=1e-6)
 
 
+class TestDeviceBandwidths:
+    """_nn_bandwidths_jnp (device path used by device_out=True inits) must
+    match the host _nn_bandwidths exactly — regression for the eye*inf
+    diagonal mask that turned every off-diagonal entry into 0*inf = NaN."""
+
+    def test_matches_host_path(self):
+        from st_dadk_tpu.ops.init_centers import (_nn_bandwidths,
+                                                  _nn_bandwidths_jnp)
+        c = np.random.default_rng(0).uniform(size=(3, 9, 2)).astype(
+            np.float32)
+        dev = np.asarray(_nn_bandwidths_jnp(jnp.asarray(c), 9))
+        host = np.stack([_nn_bandwidths(c[i]) for i in range(3)])
+        assert np.isfinite(dev).all()
+        np.testing.assert_allclose(dev, host, rtol=1e-5)
+
+    def test_device_out_balanced_init_finite(self):
+        from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
+        lanes = [_two_clusters(500, 1), _two_clusters(500, 2)]
+        keys = jax.random.split(jax.random.PRNGKey(7), 2)
+        centers_b, bw_b = init_spatial_centers_batch(
+            "kmeans_balanced", [4, 9], lanes, keys, device_out=True)
+        assert np.isfinite(np.asarray(centers_b)).all()
+        assert np.isfinite(np.asarray(bw_b)).all()
+        assert (np.asarray(bw_b) > 0).all()
+
+
 class TestSeedRounds:
     """Opt-in low-depth seeding (cfg.extra init_seed_rounds): the R-round
     batched k-means++ variant must keep the padding bit-equality contract,

@@ -138,6 +138,41 @@ class TestDedupTransportPath:
         np.testing.assert_array_equal(flows.sum(axis=1), supplies)
         np.testing.assert_array_equal(flows.sum(axis=0), caps)
 
+    def test_column_generation_matches_full_lp(self):
+        """Instances past the 16384-arc threshold route through column
+        generation; its optimality certificate (reduced costs under the
+        restricted LP's duals) must reproduce the FULL LP's optimal cost.
+        Regression for the negated-duals bug that silently terminated the
+        loop on garbage reduced costs (15-25% cost gaps on clustered
+        instances)."""
+        from st_dadk_tpu.ops.kmeans_exact import (_solve_restricted,
+                                                  transport_assign)
+        rng = np.random.default_rng(21)
+        u, k = 220, 90                              # 19800 arcs > 16384
+        # clustered geometry (the adversarial case for a cheap-arcs-only
+        # restriction): sites and centers in two blobs
+        sites = np.concatenate([rng.normal(0, .1, (u // 2, 2)),
+                                rng.normal(1, .1, (u - u // 2, 2))])
+        centers = np.concatenate([rng.normal(0, .3, (k // 2, 2)),
+                                  rng.normal(1, .3, (k - k // 2, 2))])
+        cost_u = ((sites[:, None] - centers[None]) ** 2).sum(-1)
+        supplies = rng.integers(1, 6, size=u)
+        caps = balanced_caps(int(supplies.sum()), k)
+        flows, _ = transport_assign(cost_u, supplies, caps, arcs_per_row=8)
+        np.testing.assert_array_equal(flows.sum(axis=1), supplies)
+        np.testing.assert_array_equal(flows.sum(axis=0), caps)
+        rows = np.repeat(np.arange(u), k)
+        cols = np.tile(np.arange(k), u)
+        full_flows, y, z = _solve_restricted(cost_u, supplies, caps,
+                                             rows, cols)
+        opt = float((full_flows * cost_u).sum())
+        got = float((flows * cost_u).sum())
+        assert abs(got - opt) <= 1e-7 * max(opt, 1.0), (got, opt)
+        # and the duals sign itself: basic arcs have zero reduced cost
+        red = cost_u - y[:, None] - z[None, :]
+        assert np.abs(red[full_flows > 0]).max() < 1e-6
+        assert red.min() > -1e-6
+
     def test_native_simplex_matches_lp(self):
         """Native network simplex (native/transport.cpp): optimal cost must
         equal the exact LP's on random instances, cold AND warm-started
