@@ -99,6 +99,12 @@ def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -
     # lane's cfg (inits, finalize slicing)
     k_spatial = (tuple(cfg.k_spatial_centers) if cfg.k_spatial_pad is None
                  else (int(cfg.k_spatial_pad),))
+    # the fused Pallas kernels (inference AND training) never consume
+    # consts['spatial_k_mask'], so on ragged-k padded lanes they would let
+    # junk columns leak into phi / junk weight rows receive gradients —
+    # breaking pad_lane_model's tracks-own-shape invariant. Ragged-k always
+    # routes through the mask-aware plain forward.
+    ragged = cfg.k_spatial_pad is not None
     return ModelSpec(
         p=cfg.p_covariates,
         k_spatial_centers=k_spatial,
@@ -110,9 +116,10 @@ def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -
         spatial_learnable=cfg.spatial_learnable,
         output_dim=cfg.output_dim,
         use_delta_reparameterization=cfg.use_delta_reparameterization,
-        use_pallas=cfg.use_pallas if use_pallas is None else use_pallas,
-        use_pallas_training=cfg.use_pallas_training,
-        use_fused_training=cfg.use_fused_training,
+        use_pallas=(not ragged
+                    and (cfg.use_pallas if use_pallas is None else use_pallas)),
+        use_pallas_training=cfg.use_pallas_training and not ragged,
+        use_fused_training=cfg.use_fused_training and not ragged,
         compute_dtype=cfg.train_dtype,
     )
 

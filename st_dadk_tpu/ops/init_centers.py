@@ -772,7 +772,7 @@ def init_spatial_centers(
         # st_interp.py:340-431); host-side and slower than the Sinkhorn
         # default. See ops/kmeans_exact.py.
         from st_dadk_tpu.ops.kmeans_exact import kmeans_constrained
-        X = np.asarray(_subsample(train_coords), np.float64)
+        X = np.asarray(_subsample(train_coords, subsample), np.float64)
         for k in n_centers:
             k = int(k)
             centers, _ = kmeans_constrained(X, k)

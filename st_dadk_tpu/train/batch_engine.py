@@ -571,6 +571,32 @@ def _lane_coords(cfg: ExperimentConfig, setups: List) -> List:
     return [s.train_ps.coords if needs else None for s in setups]
 
 
+def _lane_lr_tables(cfg, datas, B_shared):
+    """Per-lane LR tables: warmup pacing depends on the lane's OWN batches
+    per epoch (W = warmup_epochs * B_lane), which can differ across lanes
+    when observation counts straddle a ceil(n/batch) boundary. Lanes with
+    B_lane < B_shared get their surplus steps padded with the last real
+    step's LR (those steps are masked in the loop anyway).
+
+    Returns (lr_steps (M, epochs, B_shared, 2), lr_recorded_lanes)."""
+    lr_tabs, lr_recorded_lanes = [], []
+    lr_cache: Dict[int, Any] = {}
+    for data in datas:
+        B_lane = int(data.n_batches)
+        if B_lane not in lr_cache:
+            lm, lb, lrec = build_lr_tables(cfg, B_lane)
+            tab = np.stack([lm, lb], -1).reshape(cfg.epochs, B_lane, 2)
+            if B_lane < B_shared:
+                tab = np.concatenate(
+                    [tab, np.repeat(tab[:, -1:], B_shared - B_lane, axis=1)],
+                    axis=1)
+            lr_cache[B_lane] = (tab, lrec)
+        tab, lrec = lr_cache[B_lane]
+        lr_tabs.append(tab)
+        lr_recorded_lanes.append(lrec)
+    return np.stack(lr_tabs), lr_recorded_lanes
+
+
 def _stack_lane_host(cfg: ExperimentConfig, setups: List) -> Dict[str, Any]:
     """Pure-host lane stacking: per-lane train/val buffers, the stacked
     numpy data tree, and per-lane LR tables. No jax dispatch — callable from
@@ -594,27 +620,7 @@ def _stack_lane_host(cfg: ExperimentConfig, setups: List) -> Dict[str, Any]:
         datas.append(data)
     data_b = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *datas)
 
-    # Per-lane LR tables: warmup pacing depends on the lane's OWN batches
-    # per epoch (W = warmup_epochs * B_lane), which can differ across lanes
-    # when observation counts straddle a ceil(n/batch) boundary. Lanes with
-    # B_lane < B_shared get their surplus steps padded with the last real
-    # step's LR (those steps are masked in the loop anyway).
-    lr_tabs, lr_recorded_lanes = [], []
-    lr_cache: Dict[int, Any] = {}
-    for data in datas:
-        B_lane = int(data.n_batches)
-        if B_lane not in lr_cache:
-            lm, lb, lrec = build_lr_tables(cfg, B_lane)
-            tab = np.stack([lm, lb], -1).reshape(cfg.epochs, B_lane, 2)
-            if B_lane < B_shared:
-                tab = np.concatenate(
-                    [tab, np.repeat(tab[:, -1:], B_shared - B_lane, axis=1)],
-                    axis=1)
-            lr_cache[B_lane] = (tab, lrec)
-        tab, lrec = lr_cache[B_lane]
-        lr_tabs.append(tab)
-        lr_recorded_lanes.append(lrec)
-    lr_steps = np.stack(lr_tabs)          # (M, epochs, B_shared, 2)
+    lr_steps, lr_recorded_lanes = _lane_lr_tables(cfg, datas, B_shared)
 
     return dict(batch_size=batch_size, B_shared=B_shared,
                 val_chunk=val_chunk, n_val_chunks=n_val_chunks,
@@ -676,10 +682,11 @@ def _execute_job_batch(
     # a ragged-k batch (cfg.k_spatial_pad) has one group per distinct
     # k_spatial_centers, concatenated back into lane order.
     data_b = stacked["data_b"]
-    carry_b, consts_b, n_params_lanes = (
-        prep.get("init")
-        or _init_lane_carries(cfg, setups, _lane_keys(setups),
-                              _lane_coords(cfg, setups)))
+    # the init deliberately runs HERE on the main thread, not on the prepare
+    # thread (a second thread dispatching device programs mid-train hangs
+    # the tunnel — see the NOTE in _prepare_job_batch)
+    carry_b, consts_b, n_params_lanes = _init_lane_carries(
+        cfg, setups, _lane_keys(setups), _lane_coords(cfg, setups))
     t_setup = prep["t_prep"] + (time.time() - t_phase)
     mixed_tau = False
     tau0 = None
@@ -989,22 +996,7 @@ def _execute_job_batch_streaming(
         spec = dataclasses.replace(spec, centers_every=100)
     ce = spec.centers_every
 
-    lr_tabs, lr_recorded_lanes = [], []
-    lr_cache: Dict[int, Any] = {}
-    for data in datas:
-        B_lane = int(data.n_batches)
-        if B_lane not in lr_cache:
-            lm, lb, lrec = build_lr_tables(cfg, B_lane)
-            tab = np.stack([lm, lb], -1).reshape(cfg.epochs, B_lane, 2)
-            if B_lane < B_shared:
-                tab = np.concatenate(
-                    [tab, np.repeat(tab[:, -1:], B_shared - B_lane, axis=1)],
-                    axis=1)
-            lr_cache[B_lane] = (tab, lrec)
-        tab, lrec = lr_cache[B_lane]
-        lr_tabs.append(tab)
-        lr_recorded_lanes.append(lrec)
-    lr_local = np.stack(lr_tabs)            # (L, epochs, B_shared, 2)
+    lr_local, lr_recorded_lanes = _lane_lr_tables(cfg, datas, B_shared)
 
     # -- assemble global lane-sharded arrays from the local rows ------------
     lane_sh = NamedSharding(mesh, P(axis))

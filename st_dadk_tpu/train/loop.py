@@ -113,11 +113,13 @@ class LoopSpec:
     dropout_rng: str = "rbg"
     # run AdamW/EMA/clip/select on flat-packed param groups inside the scan
     # (train.packing): the fit is kernel-latency-bound at this model size and
-    # packing cuts the per-step kernel count roughly in half. Identical math
-    # per element (clip's reduction order differs within f32 rounding).
-    packed_opt: bool = True
-    # unroll factor for the per-epoch batch-step lax.scan
-    scan_unroll: int = 2
+    # flat-packed optimizer: identical math per element (clip's reduction
+    # order differs within f32 rounding) but measured ~20% SLOWER on v5e
+    # (see config.py::packed_optimizer) — default OFF to match the config
+    # default; kept as a documented negative result / flag.
+    packed_opt: bool = False
+    # unroll factor for the per-epoch batch-step lax.scan (config default 1)
+    scan_unroll: int = 1
     # gather the epoch's minibatches once per epoch instead of per step
     pregather: bool = True
     # epoch shuffle source:

@@ -62,6 +62,24 @@ def _cfg(tmp_path, **kw):
 
 
 class TestPadLaneModel:
+    def test_ragged_spec_disables_fused_kernels(self, toy_csv):
+        """The fused Pallas kernels never apply consts['spatial_k_mask'];
+        with k_spatial_pad set, spec_from_config must route every path
+        through the mask-aware plain forward regardless of the cfg's
+        use_pallas / use_fused_training flags."""
+        from st_dadk_tpu.models.st_interp import spec_from_config
+        cfg = _cfg(toy_csv, k_spatial_pad=16, use_pallas=True,
+                   use_fused_training=True, use_pallas_training=True)
+        spec = spec_from_config(cfg)
+        assert not spec.use_pallas
+        assert not spec.use_fused_training
+        assert not spec.use_pallas_training
+        # explicit override can't re-enable it either (dense-eval callers)
+        assert not spec_from_config(cfg, use_pallas=True).use_pallas
+        # ...and without padding the flags pass through
+        cfg2 = _cfg(toy_csv, use_pallas=True)
+        assert spec_from_config(cfg2).use_pallas
+
     def test_pad_strip_roundtrip(self):
         spec = ModelSpec(k_spatial_centers=(9, 16), k_temporal_centers=(4,),
                          hidden_dims=(8,), spatial_learnable=True,
