@@ -92,11 +92,14 @@ def load_kaust_csv_single(
         if "z" in df.columns:
             z_data[t_idx, codes] = df["z"].to_numpy(dtype=np.float32)
 
-    metadata: Dict = {"S": S, "T": T, "site_to_idx": site_to_idx}
+    # z_mean/z_std are always present (0/1 when not normalizing) — same
+    # contract as load_kaust_csv; consumers like predictions_to_csv rely on it
+    metadata: Dict = {"S": S, "T": T, "site_to_idx": site_to_idx,
+                      "z_mean": 0.0, "z_std": 1.0}
     if normalize:
         z_flat = z_data[~np.isnan(z_data)]
         z_mean = float(z_flat.mean())
-        z_std = float(z_flat.std())
+        z_std = float(z_flat.std()) + 1e-8   # constant field: no div-by-0
         z_data = (z_data - z_mean) / z_std
         metadata["z_mean"] = z_mean
         metadata["z_std"] = z_std

@@ -67,6 +67,11 @@ def build_window_dataset(
         t0_min = L
     if t0_max is None:
         t0_max = T - H + 1
+    if t0_min < L:
+        # negative hist indices would WRAP via numpy indexing and leak
+        # future timesteps into the context
+        raise ValueError(f"t0_min={t0_min} < L={L}: windows would need "
+                         "history before t=0")
     t0s = np.arange(t0_min, t0_max, stride)
     W = len(t0s)
 
@@ -114,7 +119,15 @@ def train_valid_window_split(
     (ref create_dataloaders, kaust_loader.py:400-480)."""
     T_tr = z_train.shape[0]
     t0_max = T_tr - H
-    t0_split = int(t0_max * (1 - val_ratio))
+    if t0_max - L + 1 < 2:
+        raise ValueError(
+            f"T={T_tr} is too short for a train/valid window split with "
+            f"L={L}, H={H}: need at least L+H+1 timesteps (2 windows)")
+    # clamp so BOTH splits are non-empty and every valid window's history
+    # stays inside [0, t0): an unclamped t0_split < L used to hand
+    # build_window_dataset negative hist indices (future-data leakage via
+    # numpy wraparound) and an empty train range
+    t0_split = min(max(int(t0_max * (1 - val_ratio)), L + 1), t0_max)
     train = build_window_dataset(z_train, coords, obs_indices, L, H,
                                  t0_min=L, t0_max=t0_split, **kw)
     valid = build_window_dataset(z_train, coords, obs_indices, L, H,

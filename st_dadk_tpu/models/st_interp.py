@@ -400,6 +400,34 @@ def movement_penalty(spec: ModelSpec, params: Params, consts: Consts) -> jax.Arr
     return jnp.sum(move ** 2)
 
 
+def sparsity_block(wb: jax.Array, penalty_type: str, lambda_l1: float,
+                   lambda_group: float) -> jax.Array:
+    """Sparsity penalty of ONE first-layer block (rows = basis functions).
+
+    Row-wise math, so a k-sharded block (tensor parallelism) can compute its
+    local rows and psum — shared by sparsity_penalty and the TP loss.
+    """
+    def abs_l1(w: jax.Array) -> jax.Array:
+        # torch-parity subgradient: d|w|/dw = 0 at w == 0 (jax.lax.abs uses
+        # +1 there). Random init never lands on exact zero, but ragged-k
+        # padding keeps junk rows at EXACTLY zero (pad_lane_model) — without
+        # this guard the L1 penalty would push them off zero.
+        return jnp.where(w != 0, jnp.abs(w), 0.0).sum()
+
+    if penalty_type == "element":
+        return lambda_l1 * abs_l1(wb)
+    # NaN-safe group norm: d sqrt(s)/dw = w/sqrt(s) is NaN at s == 0.
+    # Same exact-zero-row concern as abs_l1; the where-guard leaves
+    # values and gradients of nonzero rows bit-identical and gives zero
+    # rows a zero gradient instead of NaN.
+    s = jnp.sum(wb * wb, axis=1)
+    nz = s > 0
+    group = jnp.sqrt(jnp.where(nz, s, 1.0)) * nz.astype(wb.dtype)
+    if penalty_type == "group":
+        return lambda_group * group.sum()
+    return lambda_group * group.sum() + lambda_l1 * abs_l1(wb)
+
+
 def sparsity_penalty(spec: ModelSpec, params: Params, penalty_type: str,
                      lambda_l1: float, lambda_group: float) -> Dict[str, jax.Array]:
     """First-layer sparsity penalties split by spatial/temporal input blocks.
@@ -421,28 +449,8 @@ def sparsity_penalty(spec: ModelSpec, params: Params, penalty_type: str,
     idx += spec.k_spatial
     temporal_w = w0[idx: idx + spec.k_temporal]          # (k_t, hidden)
 
-    def abs_l1(wb: jax.Array) -> jax.Array:
-        # torch-parity subgradient: d|w|/dw = 0 at w == 0 (jax.lax.abs uses
-        # +1 there). Random init never lands on exact zero, but ragged-k
-        # padding keeps junk rows at EXACTLY zero (pad_lane_model) — without
-        # this guard the L1 penalty would push them off zero.
-        return jnp.where(wb != 0, jnp.abs(wb), 0.0).sum()
-
-    def block(wb: jax.Array) -> jax.Array:
-        if penalty_type == "element":
-            return lambda_l1 * abs_l1(wb)
-        # NaN-safe group norm: d sqrt(s)/dw = w/sqrt(s) is NaN at s == 0.
-        # Same exact-zero-row concern as abs_l1; the where-guard leaves
-        # values and gradients of nonzero rows bit-identical and gives zero
-        # rows a zero gradient instead of NaN.
-        s = jnp.sum(wb * wb, axis=1)
-        nz = s > 0
-        group = jnp.sqrt(jnp.where(nz, s, 1.0)) * nz.astype(wb.dtype)
-        if penalty_type == "group":
-            return lambda_group * group.sum()
-        return lambda_group * group.sum() + lambda_l1 * abs_l1(wb)
-
-    sp, tp = block(spatial_w), block(temporal_w)
+    sp = sparsity_block(spatial_w, penalty_type, lambda_l1, lambda_group)
+    tp = sparsity_block(temporal_w, penalty_type, lambda_l1, lambda_group)
     return {"spatial_penalty": sp, "temporal_penalty": tp,
             "total_penalty": sp + tp}
 

@@ -31,13 +31,28 @@ def make_dp_train_step(spec: LoopSpec, mesh: Mesh, axis: str = "data"):
     axis sharded over `axis`.
     """
 
+    n_dev = mesh.shape[axis]
+
     def _step(params, opt_state, ema, consts, coords, t, y, w, lrs,
               ema_decay, rng):
+        # Weighted-mean correctness under uneven padding: training_loss
+        # returns the LOCAL weighted mean, and pmean of per-shard weighted
+        # means != the global weighted mean when padding (w=0 rows)
+        # concentrates in one shard (e.g. the ragged tail of a batch).
+        # Scaling each shard's loss by its weight share (wsum_s * n / W)
+        # makes pmean reproduce sum_s(wsum_s * mean_s) / W — the exact
+        # global weighted mean the unsharded loop computes. The replicated
+        # penalty terms inside training_loss come through exactly too:
+        # their share coefficients sum to 1 across shards.
+        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        share = wsum * n_dev / jax.lax.psum(wsum, axis)
+
         def loss_fn(p):
-            return training_loss(spec, p, consts, coords, t, y, w,
-                                 train=True, rng=rng)
+            return share * training_loss(spec, p, consts, coords, t, y, w,
+                                         train=True, rng=rng)
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        # DDP-style gradient sync: mean over replicas
+        # DDP-style gradient sync: mean over replicas (of share-scaled
+        # locals = the exact global objective)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         grads = _transform_grads(spec, grads, params, consts)

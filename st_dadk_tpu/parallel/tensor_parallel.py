@@ -127,32 +127,10 @@ def make_tp_forward(spec: ModelSpec, mesh: Mesh, axis: str = "tp"):
     n_dev = mesh.shape[axis]
 
     def _forward(params, consts, coords, t):
-        mlp = params["mlp"]
-        if spec.spatial_learnable:
-            centers = params["basis"]["centers"]
-            bandwidths = jnp.exp(params["basis"]["log_bandwidths"])
-        else:
-            centers = consts["spatial_centers_init"]
-            bandwidths = consts["spatial_bandwidths_init"]
-        phi_local = spatial_basis_embed(coords, centers, bandwidths,
-                                        spec.spatial_basis_function)
-        partial = phi_local @ mlp["w0_spatial"]           # (N, h)
-
-        psi = temporal_basis_embed(t, consts["temporal_centers"],
-                                   consts["temporal_bandwidths"])
-        rep = psi @ mlp["w0_temporal"] + mlp["b0"]
-        h = jax.lax.psum(partial + rep / n_dev, axis)
-
-        if spec.layernorm:
-            h = _ln(h, mlp["ln_0"])
-        h = jax.nn.relu(h)
-        for i in range(1, len(spec.hidden_dims)):
-            lin = mlp[f"linear_{i}"]
-            h = h @ lin["w"] + lin["b"]
-            if spec.layernorm:
-                h = _ln(h, mlp[f"ln_{i}"])
-            h = jax.nn.relu(h)
-        return head(spec, {"mlp": mlp}, h)
+        # rng=None skips dropout: _tp_forward_train IS the inference path
+        # (one copy of the TP layer stack to keep in sync)
+        return _tp_forward_train(spec, params, consts, coords, t, axis,
+                                 n_dev, None)
 
     mapped = shard_map(
         _forward, mesh=mesh,
@@ -208,6 +186,67 @@ def _tp_forward_train(spec: ModelSpec, params: Params, consts: Dict[str, Any],
     return head(spec, {"mlp": mlp}, h)
 
 
+def _tp_supported_loss(regression, quantile_levels, current_quantile):
+    """TP implements the mean / quantile / multi-quantile data losses plus
+    the domain penalty. Sparsity/movement/non-crossing penalties are NOT
+    sharded-layout-aware yet — refuse loudly instead of silently optimizing
+    a different objective than fit() for the same config."""
+    from st_dadk_tpu.ops.losses import (mse_loss, multi_quantile_loss,
+                                        quantile_loss)
+    if regression == "multi-quantile":
+        q = jnp.asarray(quantile_levels, jnp.float32)
+        return lambda preds, y, w: multi_quantile_loss(preds, y, q, w)
+    if regression == "quantile":
+        tau = float(current_quantile if current_quantile is not None else 0.5)
+        return lambda preds, y, w: quantile_loss(preds, y, tau, w)
+    return lambda preds, y, w: mse_loss(preds, y, w)
+
+
+def _tp_penalties(spec, loop_spec, p, preds, consts, w, axis, train):
+    """Every composite-loss penalty of loop.loss_from_preds, on the TP
+    layout (mirrors loop.py — same weights, same train/val gating):
+    sharded-leaf terms (movement, spatial sparsity, domain) sum locally and
+    psum (pad rows are pinned at init / exactly zero, so they contribute
+    nothing); replicated-leaf terms (delta P_nc, prediction-level
+    non-crossing, temporal sparsity) add directly."""
+    from st_dadk_tpu.models.st_interp import sparsity_block
+    from st_dadk_tpu.ops.losses import (non_crossing_penalty,
+                                        p_nc_delta_penalty)
+
+    loss = jnp.asarray(0.0, jnp.float32)
+    if loop_spec.regression_type == "multi-quantile":
+        if spec.use_delta_reparameterization and spec.delta_head:
+            if loop_spec.non_crossing_lambda > 0:
+                p_nc = p_nc_delta_penalty(p["mlp"]["delta"])
+                if loop_spec.non_crossing_delta_mode == "abs":
+                    p_nc = -p_nc
+                loss = loss + loop_spec.non_crossing_lambda * p_nc
+        elif loop_spec.non_crossing_weight > 0:
+            loss = loss + loop_spec.non_crossing_weight * non_crossing_penalty(
+                preds, "mean", loop_spec.non_crossing_power, weights=w)
+    if train:
+        if spec.spatial_learnable:
+            if loop_spec.domain_penalty_weight > 0:
+                c = p["basis"]["centers"]
+                viol = jax.nn.relu(-c) + jax.nn.relu(c - 1.0)
+                loss = loss + loop_spec.domain_penalty_weight * jax.lax.psum(
+                    jnp.sum(viol ** 2), axis)
+            if loop_spec.movement_penalty_weight > 0:
+                move = p["basis"]["centers"] - consts["spatial_centers_init"]
+                loss = loss + loop_spec.movement_penalty_weight * \
+                    jax.lax.psum(jnp.sum(move ** 2), axis)
+        if loop_spec.sparsity_penalty_type != "none":
+            pt = loop_spec.sparsity_penalty_type
+            l1, lg = loop_spec.sparsity_lambda_l1, loop_spec.sparsity_lambda_group
+            if loop_spec.sparsity_apply_to_spatial:
+                loss = loss + jax.lax.psum(
+                    sparsity_block(p["mlp"]["w0_spatial"], pt, l1, lg), axis)
+            if loop_spec.sparsity_apply_to_temporal:
+                loss = loss + sparsity_block(p["mlp"]["w0_temporal"], pt,
+                                             l1, lg)
+    return loss
+
+
 def make_tp_train_step(spec: ModelSpec, mesh: Mesh, axis: str = "tp",
                        regression: str = "mean",
                        quantile_levels=None,
@@ -224,21 +263,19 @@ def make_tp_train_step(spec: ModelSpec, mesh: Mesh, axis: str = "tp",
     step(tp_params, opt_state, consts, coords, t, y, w, lrs, rng)
       -> (tp_params, opt_state, loss)
     """
-    from st_dadk_tpu.ops.losses import mse_loss, multi_quantile_loss
     from st_dadk_tpu.train.optimizer import adamw_update, lr_tree_for
 
     n_dev = mesh.shape[axis]
-    q = (jnp.asarray(quantile_levels, jnp.float32)
-         if quantile_levels is not None else None)
+    data_loss_fn = _tp_supported_loss(regression, quantile_levels,
+                                      quantile_levels[0]
+                                      if regression == "quantile"
+                                      and quantile_levels else None)
 
     def _step(params, opt_state, consts, coords, t, y, w, lrs, rng):
         def loss_fn(p):
             preds = _tp_forward_train(spec, p, consts, coords, t, axis,
                                       n_dev, rng)
-            if regression == "multi-quantile":
-                loss = multi_quantile_loss(preds, y, q, w)
-            else:
-                loss = mse_loss(preds, y, w)
+            loss = data_loss_fn(preds, y, w)
             if spec.spatial_learnable and domain_penalty_weight > 0:
                 c = p["basis"]["centers"]
                 viol = jax.nn.relu(-c) + jax.nn.relu(c - 1.0)
@@ -313,7 +350,6 @@ def make_tp_epoch(spec: ModelSpec, mesh: Mesh, loop_spec, axis: str = "tp"):
     val_rmse)); carry mirrors train.loop's (params/opt/ema/best_ema/
     best_val/has_best/patience/stopped/key).
     """
-    from st_dadk_tpu.ops.losses import mse_loss, multi_quantile_loss
     from st_dadk_tpu.train.loop import epoch_batch_indices
     from st_dadk_tpu.train.optimizer import (adamw_update, ema_update,
                                              lr_tree_for)
@@ -324,23 +360,18 @@ def make_tp_epoch(spec: ModelSpec, mesh: Mesh, loop_spec, axis: str = "tp"):
         return fn
 
     n_dev = mesh.shape[axis]
-    q = (jnp.asarray(loop_spec.quantile_levels, jnp.float32)
-         if loop_spec.regression_type == "multi-quantile" else None)
+    data_loss_fn = _tp_supported_loss(loop_spec.regression_type,
+                                      loop_spec.quantile_levels,
+                                      getattr(loop_spec, "current_quantile",
+                                              None))
     bs, B = loop_spec.batch_size, loop_spec.n_batches
 
     def data_loss(p, consts, coords, t, y, w, rng):
         preds = _tp_forward_train(spec, p, consts, coords, t, axis, n_dev,
                                   rng)
-        if loop_spec.regression_type == "multi-quantile":
-            loss = multi_quantile_loss(preds, y, q, w)
-        else:
-            loss = mse_loss(preds, y, w)
-        if spec.spatial_learnable and loop_spec.domain_penalty_weight > 0:
-            c = p["basis"]["centers"]
-            viol = jax.nn.relu(-c) + jax.nn.relu(c - 1.0)
-            loss = loss + loop_spec.domain_penalty_weight * jax.lax.psum(
-                jnp.sum(viol ** 2), axis)
-        return loss
+        loss = data_loss_fn(preds, y, w)
+        return loss + _tp_penalties(spec, loop_spec, p, preds, consts, w,
+                                    axis, train=True)
 
     def _epoch(carry, data, lr_epoch, epoch_idx):
         params, opt, ema, best_ema, best_val, has_best, pat, stopped, key \
@@ -429,10 +460,8 @@ def make_tp_epoch(spec: ModelSpec, mesh: Mesh, loop_spec, axis: str = "tp"):
                if loop_spec.regression_type == "multi-quantile" else 0)
         vw = va["w"]
         cnt = jnp.maximum(jnp.sum(vw), 1.0)
-        if loop_spec.regression_type == "multi-quantile":
-            val_loss = multi_quantile_loss(vp, va["y"], q, vw)
-        else:
-            val_loss = mse_loss(vp, va["y"], vw)
+        val_loss = data_loss_fn(vp, va["y"], vw) + _tp_penalties(
+            spec, loop_spec, e2, vp, consts, vw, axis, train=False)
         se = jnp.sum((vp[:, med:med + 1] - va["y"]) ** 2 * vw[:, None])
         val_rmse = jnp.sqrt(se / cnt)
 

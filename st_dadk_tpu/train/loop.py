@@ -667,15 +667,16 @@ def _run_epoch_packed(spec: LoopSpec, ps, consts: Dict[str, Any],
             lambda q: training_loss(spec, ps.unpack(q), consts, coords, t, y,
                                     w, train=True, rng=rng))(pk)
         if damping_on:
-            centers = pk["basis"][: 2 * k].reshape(k, 2)
-            move = centers - consts["spatial_centers_init"]
-            dist = jnp.linalg.norm(move, axis=1, keepdims=True)
-            factor = jnp.exp(-spec.damping_strength
-                             * jnp.maximum(dist - spec.damping_threshold, 0.0))
-            scale = jnp.concatenate([
-                jnp.broadcast_to(factor, (k, 2)).reshape(-1),
-                jnp.ones((pk["basis"].shape[-1] - 2 * k,), jnp.float32)])
-            gk = dict(gk, basis=gk["basis"] * jax.lax.stop_gradient(scale))
+            # same formula as the unpacked path: damp the centers slice of
+            # the packed basis group via the shared optimizer helper
+            from st_dadk_tpu.train.optimizer import gradient_damping
+            g_centers = gradient_damping(
+                gk["basis"][: 2 * k].reshape(k, 2),
+                pk["basis"][: 2 * k].reshape(k, 2),
+                consts["spatial_centers_init"],
+                spec.damping_threshold, spec.damping_strength)
+            gk = dict(gk, basis=jnp.concatenate(
+                [g_centers.reshape(-1), gk["basis"][2 * k:]]))
         if spec.grad_clip > 0:
             clipped = {g: packed_clip(
                 gk[g], spec.grad_clip * (0.1 if g == "basis" else 1.0))
@@ -1211,7 +1212,10 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
     if cfg.extra.get("profile_dir"):
         stack.enter_context(jax.profiler.trace(str(cfg.extra["profile_dir"])))
     while epochs_done < session_limit and not bool(np.asarray(carry["stopped"])):
-        c = min(chunk, E - epochs_done)
+        # clamp to the SESSION budget too, not just total epochs — otherwise
+        # a session_epochs smaller than the chunk overshoots by up to
+        # chunk-1 epochs (partial chunks are padded below, so any c works)
+        c = min(chunk, E - epochs_done, session_limit - epochs_done)
         ids = jnp.arange(epochs_done, epochs_done + c, dtype=jnp.int32)
         lr_c = jnp.asarray(lr_steps[epochs_done:epochs_done + c])
         active = jnp.ones((chunk,), bool)
@@ -1235,8 +1239,10 @@ def fit(cfg: ExperimentConfig, spec_model: ModelSpec, params: Params,
             break
     stack.close()
 
-    history_concat = {k: np.concatenate([h[k] for h in hists])
-                      for k in hists[0]}
+    history_concat = ({k: np.concatenate([h[k] for h in hists])
+                       for k in hists[0]} if hists
+                      else {k: np.zeros((0,), np.float32)
+                            for k in ("train_loss", "val_loss", "val_rmse")})
     return assemble_result(spec, carry, history_concat, lr_recorded,
                            epochs_done)
 

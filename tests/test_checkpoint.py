@@ -58,6 +58,39 @@ def test_resume_bitwise_equals_uninterrupted(tmp_path):
             assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_session_budget_not_a_chunk_multiple(tmp_path):
+    """session_epochs smaller than / not aligned to epochs_chunk must be
+    honored exactly (regression: the chunk size was clamped to total epochs
+    but not to the session budget, overshooting by up to chunk-1 epochs) —
+    and the resumed run still equals the uninterrupted one bitwise."""
+    cfg = _cfg(12)
+    train_ps, valid_ps = _synthetic(256, 0), _synthetic(64, 1)
+    spec = spec_from_config(cfg)
+    params, consts = init_model(jax.random.PRNGKey(3), spec)
+    full = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=3,
+               epochs_chunk=4)
+    ckpt = tmp_path / "fit.ckpt.npz"
+    partial = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=3,
+                  epochs_chunk=8, checkpoint_path=ckpt, session_epochs=5)
+    assert partial.n_epochs_run == 5
+    resumed = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=3,
+                  epochs_chunk=8, checkpoint_path=ckpt, resume=True)
+    assert resumed.n_epochs_run == 12
+    assert np.array_equal(resumed.history["train_loss"],
+                          full.history["train_loss"])
+
+
+def test_session_budget_zero_returns_initial_state(tmp_path):
+    cfg = _cfg(8)
+    train_ps, valid_ps = _synthetic(128, 0), _synthetic(32, 1)
+    spec = spec_from_config(cfg)
+    params, consts = init_model(jax.random.PRNGKey(0), spec)
+    r = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=0,
+            epochs_chunk=4, session_epochs=0)
+    assert r.n_epochs_run == 0
+    assert len(r.history["train_loss"]) == 0
+
+
 def test_resume_skips_when_finished(tmp_path):
     cfg = _cfg(8)
     train_ps, valid_ps = _synthetic(128, 0), _synthetic(32, 1)

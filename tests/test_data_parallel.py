@@ -100,6 +100,45 @@ class TestDataParallelFit:
         assert res.n_epochs_run == 4
 
 
+class TestDpStepWeightedMean:
+    def test_uneven_padding_matches_unsharded_objective(self):
+        """make_dp_train_step with padding concentrated in the tail shard
+        (the ragged-batch layout) must compute the exact GLOBAL weighted
+        mean — regression for pmean-of-local-weighted-means bias."""
+        from st_dadk_tpu.parallel.data_parallel import make_dp_train_step
+        from st_dadk_tpu.train.loop import LoopSpec, training_loss
+        from st_dadk_tpu.train.optimizer import adamw_init
+
+        cfg = _cfg(dropout=0.0, grad_clip=0.0)
+        spec_m = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(1), spec_m)
+        spec = LoopSpec.from_config(cfg, spec_m, 64, 1, 64, 1)
+
+        n, n_real = 256, 232                    # 24 pad rows, all in tail
+        rng = np.random.default_rng(5)
+        coords = rng.uniform(size=(n, 2)).astype(np.float32)
+        t = rng.uniform(size=(n, 1)).astype(np.float32)
+        y = np.sin(3 * coords[:, :1]).astype(np.float32)
+        w = np.zeros(n, np.float32)
+        w[:n_real] = 1.0
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        step = make_dp_train_step(spec, mesh)
+        opt = adamw_init(params)
+        _, _, _, loss_dp = step(params, opt, params, consts,
+                                coords, t, y, w,
+                                np.asarray([1e-2, 1e-2], np.float32),
+                                np.asarray(0.99, np.float32),
+                                jax.random.PRNGKey(0))
+        want = float(training_loss(spec, params, consts,
+                                   jax.numpy.asarray(coords),
+                                   jax.numpy.asarray(t),
+                                   jax.numpy.asarray(y),
+                                   jax.numpy.asarray(w),
+                                   train=True, rng=jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(float(loss_dp), want, rtol=1e-5)
+
+
 class TestHybridExpDataMesh:
     def test_vmapped_lanes_with_inner_dp(self):
         """{'exp': 4, 'data': 2} hybrid: lanes shard over 'exp' (via

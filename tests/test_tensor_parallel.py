@@ -178,6 +178,90 @@ class TestTPTrainStep:
         err = np.abs(got - want).mean()
         assert err < 0.02, err
 
+    def test_tp_single_quantile_tracks_fit(self):
+        """regression_type='quantile' must train the CHECK loss on the TP
+        path too (regression: it silently fell back to MSE)."""
+        from st_dadk_tpu.config import ExperimentConfig
+        from st_dadk_tpu.dataio.arrays import PointSet
+        from st_dadk_tpu.models.st_interp import init_model, spec_from_config
+        from st_dadk_tpu.parallel.tensor_parallel import fit_tp
+        from st_dadk_tpu.train.loop import fit
+
+        def synth(n, seed):
+            r = np.random.default_rng(seed)
+            coords = r.uniform(size=(n, 2)).astype(np.float32)
+            t = r.uniform(size=(n, 1)).astype(np.float32)
+            y = (np.sin(3 * coords[:, :1]) + 0.5 * t
+                 + r.normal(0, 0.1, (n, 1))).astype(np.float32)
+            return PointSet(coords=coords, t=t, y=y,
+                            w=np.ones(n, np.float32), n_real=n)
+
+        cfg = ExperimentConfig.from_dict(dict(
+            k_spatial_centers=[25], k_temporal_centers=[5],
+            hidden_dims=[16], dropout=0.0, epochs=4, lr=1e-2,
+            batch_size=64, patience=100, warmup_epochs=1, scheduler="cosine",
+            grad_clip=0.0, weight_decay=1e-5, regression_type="quantile",
+            quantile_levels=[0.9], current_quantile=0.9,
+            spatial_learnable=False, use_pallas=False))
+        spec_m = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(0), spec_m)
+        train_ps, valid_ps = synth(256, 1), synth(64, 2)
+        r_ref = fit(cfg, spec_m, params, consts, train_ps, valid_ps, seed=3,
+                    epochs_chunk=4)
+        mesh = make_mesh({"tp": 4}, jax.devices()[:4])
+        r_tp = fit_tp(cfg, spec_m, params, consts, train_ps, valid_ps, mesh,
+                      seed=3)
+        np.testing.assert_allclose(r_tp.history["train_loss"],
+                                   r_ref.history["train_loss"],
+                                   rtol=0.02, atol=5e-4)
+
+    def test_tp_all_penalties_track_fit(self):
+        """The full composite objective — delta P_nc, movement, sparsity
+        (sharded spatial block via psum + replicated temporal), domain — on
+        the TP layout must track the replicated fit() (regression: sparsity/
+        movement/non-crossing used to be silently DROPPED on this path)."""
+        from st_dadk_tpu.config import ExperimentConfig
+        from st_dadk_tpu.dataio.arrays import PointSet
+        from st_dadk_tpu.models.st_interp import init_model, spec_from_config
+        from st_dadk_tpu.parallel.tensor_parallel import fit_tp
+        from st_dadk_tpu.train.loop import fit
+
+        def synth(n, seed):
+            r = np.random.default_rng(seed)
+            coords = r.uniform(size=(n, 2)).astype(np.float32)
+            t = r.uniform(size=(n, 1)).astype(np.float32)
+            y = (np.sin(3 * coords[:, :1]) + 0.5 * t).astype(np.float32)
+            return PointSet(coords=coords, t=t, y=y,
+                            w=np.ones(n, np.float32), n_real=n)
+
+        cfg = ExperimentConfig.from_dict(dict(
+            k_spatial_centers=[25], k_temporal_centers=[5],
+            hidden_dims=[16], dropout=0.0, epochs=4, lr=1e-2,
+            batch_size=64, patience=100, warmup_epochs=1, scheduler="cosine",
+            grad_clip=0.0, weight_decay=1e-5,
+            regression_type="multi-quantile",
+            quantile_levels=[0.05, 0.5, 0.95],
+            use_delta_reparameterization=True, non_crossing_lambda=1.0,
+            spatial_learnable=True, basis_unfreeze_epoch=0,
+            domain_penalty_weight=0.01, movement_penalty_weight=0.001,
+            sparsity_penalty_type="sparse_group",
+            sparsity_lambda_l1=1e-4, sparsity_lambda_group=1e-4,
+            use_pallas=False))
+        spec_m = spec_from_config(cfg)
+        params, consts = init_model(jax.random.PRNGKey(0), spec_m)
+        train_ps, valid_ps = synth(256, 1), synth(64, 2)
+        r_ref = fit(cfg, spec_m, params, consts, train_ps, valid_ps, seed=3,
+                    epochs_chunk=4)
+        mesh = make_mesh({"tp": 4}, jax.devices()[:4])
+        r_tp = fit_tp(cfg, spec_m, params, consts, train_ps, valid_ps, mesh,
+                      seed=3)
+        np.testing.assert_allclose(r_tp.history["train_loss"],
+                                   r_ref.history["train_loss"],
+                                   rtol=0.02, atol=5e-4)
+        np.testing.assert_allclose(r_tp.history["val_loss"],
+                                   r_ref.history["val_loss"],
+                                   rtol=0.02, atol=5e-4)
+
     def test_multi_step_pads_stay_inert(self):
         """With k % n_dev != 0 (25+81=106 centers on 4 devices -> 2 pad
         rows), several TP train steps must (a) keep the pad rows exactly at

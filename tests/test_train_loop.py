@@ -149,6 +149,33 @@ class TestFitLearnableBasis:
                            np.asarray(consts["spatial_centers_init"]), atol=1e-7)
 
 
+class TestPackedOptimizerPath:
+    def test_packed_matches_unpacked_with_damping(self):
+        """The flat-packed epoch program (packed_optimizer=True, a documented
+        negative-result flag) must stay numerically equivalent to the
+        default unpacked path — including gradient damping, which the packed
+        path routes through the same optimizer helper."""
+        kw = dict(epochs=6, spatial_learnable=True, gradient_damping=True,
+                  damping_threshold=0.0, damping_strength=5.0,
+                  domain_penalty_weight=0.01, basis_lr_ratio=0.05,
+                  basis_unfreeze_epoch=0, grad_clip=10.0)
+        train_ps, valid_ps = _synthetic(256, 0), _synthetic(64, 1)
+        cfg_a = _cfg(**kw)
+        cfg_b = _cfg(packed_optimizer=True, **kw)
+        spec = spec_from_config(cfg_a)
+        params, consts = init_model(jax.random.PRNGKey(7), spec)
+        r_a = fit(cfg_a, spec, params, consts, train_ps, valid_ps, seed=7,
+                  epochs_chunk=6)
+        r_b = fit(cfg_b, spec, params, consts, train_ps, valid_ps, seed=7,
+                  epochs_chunk=6)
+        np.testing.assert_allclose(r_b.history["train_loss"],
+                                   r_a.history["train_loss"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(r_b.history["val_rmse"],
+                                   r_a.history["val_rmse"],
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestWeightedPaddingInvariance:
     def test_padding_does_not_change_eval(self):
         """Validation metrics must be identical whether or not the valid set
