@@ -147,8 +147,10 @@ def fit_forecaster(spec: ForecastSpec, params: Params, consts: Dict[str, Any],
     Returns (best_params, history)."""
     n = train_rows.y_hist.shape[0]
     bs = min(batch_size, n)
-    B = max(1, n // bs)
-    cap = B * bs
+    B = max(1, -(-n // bs))     # ceil: every training row lands in a batch
+    cap = B * bs                # >= n; pad() tiles the shortfall (the old
+                                # floor rounding TRUNCATED up to bs-1 rows
+                                # out of training entirely)
 
     def pad(a):
         reps = -(-cap // a.shape[0])

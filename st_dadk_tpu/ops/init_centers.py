@@ -598,8 +598,10 @@ def init_spatial_centers_batch(
                 else:
                     np.random.seed(int(np.asarray(
                         jax.random.key_data(keys[i])).ravel()[-1]) % (2 ** 31))
-                out.append(init_spatial_centers(method, n_centers, tc,
-                                                key=keys[i]))
+                out.append(init_spatial_centers(
+                    method, n_centers, tc, key=keys[i], em_dtype=em_dtype,
+                    gmm_n_init=gmm_n_init, subsample=subsample,
+                    seed_rounds=seed_rounds))
         if device_out:
             return _stack_device(out)
         return out

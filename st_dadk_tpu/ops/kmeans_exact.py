@@ -417,7 +417,6 @@ def kmeans_constrained(X: np.ndarray, k: int,
                 inertia = float((flows * cost_u).sum())
                 # expand: site u_i's points fill its clusters in flow order
                 bounds = np.cumsum(flows, axis=1)             # (u, k)
-                labels = np.empty(n, np.int64)
                 labels = (pos_in_site[:, None] >=
                           bounds[inv]).sum(axis=1).astype(np.int64)
                 w = flows.sum(axis=0).astype(np.float64)      # == caps

@@ -122,7 +122,9 @@ def compute_crps(predictions_dict: Dict[float, np.ndarray], y_true: np.ndarray,
 
     predictions_dict maps quantile level -> predictions (N,).
     Uniform weights w_k = 1/K by default; custom weights are normalized to
-    sum to 1 (ref train_st_interp.py:169-223).
+    sum to 1 (ref train_st_interp.py:169-223). NOTE reference parity:
+    weights pair with the SORTED quantile order while the keys are sorted
+    independently (ref :190/:215-219) — pass weights in ascending-tau order.
     """
     quantiles = sorted(predictions_dict.keys())
     K = len(quantiles)

@@ -125,6 +125,9 @@ def save_experiment_results(all_results: List[Optional[Dict[str, Any]]],
         for metric in _SUMMARY_METRICS:
             if metric not in summary["statistics"]:
                 continue
+            # enumerate(values, 1) relabels rows when a repeat is missing
+            # (gap shifts later ids) — deliberate reference parity with
+            # run_grid_search.py:182; the CSV schema feeds the same analyzers
             for exp_id, value in enumerate(
                     summary["statistics"][metric]["values"], 1):
                 key = (config["config_id"], exp_id)

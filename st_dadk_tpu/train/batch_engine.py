@@ -315,13 +315,29 @@ _STACKABLE_KEYS = frozenset({
 })
 
 
+def _freeze(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
 def stacking_key(cfg: ExperimentConfig):
     """Configs whose non-observation fields match compile to the SAME lane
     program and may share one vmapped batch (see run_job_batch).
 
     With k_spatial_pad set (ragged-k stacking), k_spatial_centers becomes a
     per-lane property — the compiled program is determined by the shared pad
-    width, so configs differing only in their real k layout stack."""
+    width, so configs differing only in their real k layout stack.
+
+    cfg.extra IS part of the key: its recognized knobs (init_em_dtype /
+    init_gmm_n_init / init_subsample / init_seed_rounds / shuffle /
+    pregather / lanes_per_device / ...) change the init or epoch program,
+    and the engine reads them from the bucket's FIRST config — a sweep
+    whose param_grid varies only an extra knob must therefore split into
+    one bucket per value, not silently run every lane with the first
+    value. Unknown extra keys split too (correctness over lane packing)."""
     import dataclasses
     d = dataclasses.asdict(cfg)
     skip = set(_STACKABLE_KEYS)
@@ -329,7 +345,8 @@ def stacking_key(cfg: ExperimentConfig):
         skip.add("k_spatial_centers")
     return tuple(sorted(
         (k, tuple(v) if isinstance(v, list) else v)
-        for k, v in d.items() if k not in skip))
+        for k, v in d.items() if k not in skip)) + (("extra",
+                                                     _freeze(cfg.extra)),)
 
 
 # Measured single-chip throughput peaks at 16 lanes/device and DEGRADES

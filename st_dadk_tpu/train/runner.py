@@ -48,6 +48,9 @@ def aggregate_results(all_results: List[Dict[str, Any]], summary_dir: Path
                     metrics_data[f"{split}_{m}"].append(
                         result["metrics"][split][m])
         else:
+            # .get(key, 0) zero-fill on missing metrics is deliberate
+            # reference parity (train_st_interp.py:2833-2841) — a mixed-
+            # schema experiments dir deflates the aggregate there too
             for key in AGG_METRICS:
                 if key != "total_time_seconds":
                     metrics_data[key].append(result.get(key, 0))

@@ -12,8 +12,6 @@ import numpy as np
 
 
 def _to_numpy(x) -> np.ndarray:
-    if hasattr(x, "device_buffer") or type(x).__module__.startswith("jax"):
-        return np.asarray(x)
     return np.asarray(x)
 
 
@@ -61,6 +59,8 @@ def compute_spatial_metrics(y_true, y_pred, coords: np.ndarray,
 
     rmse_by_bin, mae_by_bin, bin_centers = [], [], []
     for i in range(n_bins):
+        # NOTE half-open last bin reproduces the reference exactly
+        # (metrics.py:111-119): sites AT the max distance fall in no bin.
         mask = (distances >= dist_bins[i]) & (distances < dist_bins[i + 1])
         if not mask.any():
             continue

@@ -297,6 +297,27 @@ class TestInitCostKnobs:
                                        rtol=1e-5, atol=1e-6)
 
 
+class TestHostPathKnobForwarding:
+    def test_kmeans_exact_batch_honors_subsample(self):
+        """The batched init's host path (random_site/kmeans_exact) must
+        forward the opt-in knobs — regression: engine='vmap' silently ran
+        kmeans_exact on the default 10k cap while sequential honored
+        init_subsample, breaking cross-engine init equality."""
+        from st_dadk_tpu.ops.init_centers import init_spatial_centers_batch
+        X = _two_clusters(3000, 9)
+        np.random.seed(31)
+        state = np.random.get_state()
+        key = jax.random.PRNGKey(31)
+        np.random.set_state(state)
+        c_seq, b_seq = init_spatial_centers("kmeans_exact", [4], X, key=key,
+                                            subsample=256)
+        out = init_spatial_centers_batch("kmeans_exact", [4], [X],
+                                         key[None], rng_states=[state],
+                                         subsample=256)
+        np.testing.assert_array_equal(out[0][0], c_seq)
+        np.testing.assert_array_equal(out[0][1], b_seq)
+
+
 class TestSeedingBitEquality:
     """The weighted k-means++ program with 0/1 padding weights must make the
     SAME draws as the unweighted program on the real prefix — this closes

@@ -123,6 +123,22 @@ class TestRaggedStacking:
         c = _cfg(toy_csv, k_spatial_centers=[16, 9])
         assert stacking_key(a) != stacking_key(c)
 
+    def test_stacking_key_splits_on_extra_knobs(self, toy_csv):
+        """cfg.extra knobs change the compiled init/epoch program and the
+        engine reads them from a bucket's FIRST config — configs differing
+        only in an extra knob must NOT share a bucket (regression: a grid
+        sweeping init_em_dtype collapsed both arms onto one value)."""
+        a = _cfg(toy_csv)
+        b = _cfg(toy_csv)
+        b.extra = {"init_em_dtype": "bfloat16"}
+        assert stacking_key(a) != stacking_key(b)
+        c = _cfg(toy_csv)
+        c.extra = {"init_em_dtype": "bfloat16"}
+        assert stacking_key(b) == stacking_key(c)
+        # observation-design fields still stack
+        d = _cfg(toy_csv, obs_ratio=0.3)
+        assert stacking_key(a) == stacking_key(d)
+
     def test_ragged_batch_matches_own_shape_runs(self, toy_csv, tmp_path):
         """Two configs with different k as stacked padded lanes vs the same
         configs run unpadded (sequential engine): metrics within f32
