@@ -42,6 +42,15 @@ def _lane(tree: Any, i: int):
     return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
 
 
+def _eval_group_key(cfg_lane):
+    """Lanes may be evaluated together only when they share the ACTUAL
+    dataset and target scaling: data_file alone misgroups lanes that differ
+    in data_root (resolve_data_file combines both) or normalize_target
+    (different z_full scaling) — all three are stackable fields."""
+    return (str(cfg_lane.resolve_data_file()),
+            bool(getattr(cfg_lane, "normalize_target", True)))
+
+
 def _batched_eval(cfg, spec_model, params_sel, consts_host, setups, M):
     """Per-lane split metrics + dense (T, S) field from vmapped predicts.
 
@@ -56,7 +65,8 @@ def _batched_eval(cfg, spec_model, params_sel, consts_host, setups, M):
 
     groups: Dict[Any, List[int]] = {}
     for li, s in enumerate(setups):
-        groups.setdefault(getattr(s, "cfg", cfg).data_file, []).append(li)
+        groups.setdefault(_eval_group_key(getattr(s, "cfg", cfg)),
+                          []).append(li)
 
     median_idx = (len(cfg.quantile_levels) // 2
                   if cfg.regression_type == "multi-quantile" else 0)
@@ -152,7 +162,8 @@ def _batched_eval_device(cfg, spec_model, serve_d, setups, M):
 
     groups: Dict[Any, List[int]] = {}
     for li, s in enumerate(setups):
-        groups.setdefault(getattr(s, "cfg", cfg).data_file, []).append(li)
+        groups.setdefault(_eval_group_key(getattr(s, "cfg", cfg)),
+                          []).append(li)
 
     out: List[Optional[Dict[str, Any]]] = [None] * len(setups)
     chunk = 32768
@@ -763,10 +774,20 @@ def _execute_job_batch(
         # of compiling a fresh ragged-M shape (minutes over the tunnel)
         pad_lanes = lane_width - M
     if pad_lanes:
-        dup = lambda t: jax.tree_util.tree_map(
+        # data_b is still HOST numpy here — pad it with numpy so the only
+        # device transfer is the sharded placement below (a jnp.concatenate
+        # would upload the whole batch unsharded first, the exact double
+        # upload the single-placement invariant above exists to avoid);
+        # carry/consts are already device-resident, so jnp padding there is
+        # a cheap on-device op, not an upload
+        dup_np = lambda t: jax.tree_util.tree_map(
+            lambda x: np.concatenate(
+                [x, np.repeat(x[-1:], pad_lanes, axis=0)]), t)
+        dup_dev = lambda t: jax.tree_util.tree_map(
             lambda x: jnp.concatenate(
                 [x, jnp.repeat(x[-1:], pad_lanes, axis=0)]), t)
-        data_b, carry_b, consts_b = dup(data_b), dup(carry_b), dup(consts_b)
+        data_b, carry_b, consts_b = (dup_np(data_b), dup_dev(carry_b),
+                                     dup_dev(consts_b))
         lr_steps = np.concatenate(
             [lr_steps, np.repeat(lr_steps[-1:], pad_lanes, axis=0)])
 
@@ -948,20 +969,24 @@ def _execute_job_batch_streaming(
     L = len(local_setups)
 
     t_phase = time.time()
-    keys_local = jnp.stack([jax.random.PRNGKey(s.experiment_seed)
-                            for s in local_setups])
-    needs_coords = cfg.spatial_init_method in ("gmm", "random_site",
-                                               "kmeans_balanced",
-                                               "kmeans_exact")
-    coords_list = [s.train_ps.coords if needs_coords else None
-                   for s in local_setups]
+    keys_local = _lane_keys(local_setups)
+    coords_list = _lane_coords(cfg, local_setups)
     spec_model = local_setups[0].spec
 
     # -- global batch scalars from an allgather of per-lane counts ----------
-    counts_local = np.array([[s.train_ps.n_real, max(1, s.valid_ps.n_real)]
+    # (T, S) rides along so the dataset-shape guard spans PROCESSES: each
+    # process's local check can't see that another host's lanes load a
+    # different-shape dataset
+    counts_local = np.array([[s.train_ps.n_real, max(1, s.valid_ps.n_real),
+                              s.T, s.S]
                              for s in local_setups], np.int64)
     gathered = np.asarray(multihost_utils.process_allgather(counts_local))
-    counts_global = gathered.reshape(M_pad, 2)[:M]   # pad rows excluded
+    rows_global = gathered.reshape(M_pad, 4)[:M]     # pad rows excluded
+    shapes_global = {tuple(r) for r in rows_global[:, 2:4].tolist()}
+    if len(shapes_global) != 1:
+        raise ValueError(f"run_job_batch: dataset shapes differ across "
+                         f"processes: {shapes_global}")
+    counts_global = rows_global[:, :2]
     batch_size = adaptive_batch_size(int(counts_global[:, 0].min()),
                                      cfg.batch_size)
     lane_batches = -(-counts_global[:, 0] // batch_size)

@@ -49,8 +49,20 @@ def load_checkpoint(path) -> Tuple[Dict[str, Any], int, list]:
 def checkpoint_exists(path) -> bool:
     p = Path(path)
     if is_orbax_path(path):
-        return (p / "state").exists() or (p / "_CHECKPOINT_METADATA").exists()
+        return (_orbax_state_dir(p) is not None
+                or (p / "_CHECKPOINT_METADATA").exists())
     return p.exists()
+
+
+def _orbax_state_dir(p: Path):
+    """Best available state dir, crash-tolerant (see _save_orbax's swap):
+    `state` (normal), else `state.tmp` (fully written — the swap renames
+    the old dir away before promoting tmp, so a crash in that window
+    leaves only tmp+old), else `state.old` (pre-crash fallback)."""
+    for name in ("state", "state.tmp", "state.old"):
+        if (p / name).exists():
+            return p / name
+    return None
 
 
 def _save_orbax(path, carry: Dict[str, Any], epochs_done: int,
@@ -69,16 +81,32 @@ def _save_orbax(path, carry: Dict[str, Any], epochs_done: int,
     }
     path = Path(path).resolve()
     ckptr = ocp.StandardCheckpointer()
-    # Orbax refuses to overwrite; mirror the npz backend's replace semantics
-    ckptr.save(path / "state", payload, force=True)
+    # Crash-safe replace (the npz backend's tmp+os.replace semantics):
+    # a bare save(force=True) DELETES the previous checkpoint before
+    # writing, so a crash mid-save would lose all progress — exactly the
+    # event checkpoints exist for. Write the new state beside the old one,
+    # then swap; _orbax_state_dir makes every intermediate window loadable.
+    import shutil
+    tmp, final, old = path / "state.tmp", path / "state", path / "state.old"
+    ckptr.save(tmp, payload, force=True)
     ckptr.wait_until_finished()
+    if old.exists():
+        shutil.rmtree(old)
+    if final.exists():
+        final.rename(old)
+    tmp.rename(final)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def _load_orbax(path) -> Tuple[Dict[str, Any], int, list]:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    payload = ckptr.restore(Path(path).resolve() / "state")
+    state_dir = _orbax_state_dir(Path(path).resolve())
+    if state_dir is None:
+        raise FileNotFoundError(f"no Orbax checkpoint under {path}")
+    payload = ckptr.restore(state_dir)
     carry = jax.tree_util.tree_map(jnp.asarray, payload["carry"])
     carry["key"] = jax.random.wrap_key_data(
         jnp.asarray(payload["key_data"]))

@@ -80,8 +80,8 @@ def plot_predictions(cfg, spec, params, consts, z_full: np.ndarray,
     t_indices = sorted(np.random.default_rng(42).choice(T, size=min(n_times, T),
                                         replace=False))
 
-    centers = np.asarray(spatial_params(spec, params, consts)[0])
-    bandwidths = np.asarray(spatial_params(spec, params, consts)[1])
+    centers, bandwidths = (np.asarray(a) for a in
+                           spatial_params(spec, params, consts)[:2])
     bw_n = (bandwidths - bandwidths.min()) / (bandwidths.max()
                                               - bandwidths.min() + 1e-8)
     basis_sizes = 10 + bw_n * 90
@@ -112,6 +112,14 @@ def plot_predictions(cfg, spec, params, consts, z_full: np.ndarray,
             preds = preds[:, 0]
         true = z_full[t_idx]
         valid = ~np.isnan(true)
+        if not valid.any():
+            # a fully-missing time slice would crash griddata (empty input)
+            # and abort every remaining plot family; render a placeholder
+            for col in range(3):
+                axes[row][col].text(0.5, 0.5, f"t={t_idx+1}: no data",
+                                    ha="center", va="center")
+                axes[row][col].set_xlim(0, 1); axes[row][col].set_ylim(0, 1)
+            continue
         cv = coords[valid]
         bias = preds - true
         tg = griddata(cv, true[valid], (xi_g, yi_g), method="nearest")
@@ -295,12 +303,20 @@ def create_averaged_spatial_mse(experiment_dirs, summary_dir: Path) -> None:
             site_mse = np.nanmean(err, axis=0)
         if site_mse_sum is None:
             site_mse_sum = np.zeros_like(site_mse)
+            site_cnt = np.zeros_like(site_mse)
             coords = data["coords"]
-        site_mse_sum += np.nan_to_num(site_mse)
+        # per-site count of experiments with a FINITE value: an all-NaN
+        # site folded in as 0 over the full count would bias never-observed
+        # sites toward "best-predicted" on the summary map
+        finite = np.isfinite(site_mse)
+        site_mse_sum += np.where(finite, site_mse, 0.0)
+        site_cnt += finite
         n += 1
     if n == 0:
         return
-    avg = site_mse_sum / n
+    with np.errstate(invalid="ignore"):
+        avg = np.where(site_cnt > 0, site_mse_sum / np.maximum(site_cnt, 1),
+                       np.nan)
     fig, ax = plt.subplots(figsize=(7, 6))
     _site_scatter(ax, coords, avg, f"per-site MSE averaged over {n} experiments",
                   cmap="magma")
@@ -360,7 +376,8 @@ def plot_combined_quantile_series(quantile_preds: Dict[float, np.ndarray],
     tt = np.arange(1, T + 1)
     fig, axes = plt.subplots(len(chosen), 1, figsize=(12, 3 * len(chosen)),
                              squeeze=False)
-    med = qs[len(qs) // 2]
+    med = qs[len(qs) // 2]   # middle index, ref parity (:801/:915) — for
+                             # even quantile counts this is an upper quantile
     for row, s in enumerate(chosen):
         ax = axes[row][0]
         for lo_i in range(len(qs) // 2):
