@@ -334,3 +334,28 @@ class TestLaneWidthSplit:
         jobs = [(cfg, i, tmp_path / "n" / str(i)) for i in range(1, 4)]
         out = run_lane_jobs(jobs, cfg, epochs_chunk=8)
         assert len(out) == 3
+
+
+class TestEvalGroupKey:
+    """Eval lanes may share one vmapped inference only when they share the
+    RESOLVED dataset and target scaling (regression: keying on the raw
+    data_file string grouped lanes whose data_root or normalize_target
+    differed, silently evaluating them on the wrong field/scale)."""
+
+    def test_normalize_target_splits_groups(self, toy_csv):
+        from st_dadk_tpu.train.batch_engine import _eval_group_key
+        a = _cfg(toy_csv, normalize_target=False)
+        b = _cfg(toy_csv, normalize_target=True)
+        assert _eval_group_key(a) != _eval_group_key(b)
+
+    def test_data_root_resolution_in_key(self, toy_csv, tmp_path):
+        from st_dadk_tpu.train.batch_engine import _eval_group_key
+        other = tmp_path / "other"
+        other.mkdir()
+        (other / "toy.csv").write_text((toy_csv / "toy.csv").read_text())
+        a = _cfg(toy_csv, data_file="toy.csv", data_root=str(toy_csv))
+        b = _cfg(toy_csv, data_file="toy.csv", data_root=str(other))
+        assert _eval_group_key(a) != _eval_group_key(b)
+        # identical resolution -> identical key (lanes DO stack)
+        a2 = _cfg(toy_csv, data_file="toy.csv", data_root=str(toy_csv))
+        assert _eval_group_key(a) == _eval_group_key(a2)

@@ -105,6 +105,114 @@ def test_resume_skips_when_finished(tmp_path):
     assert np.allclose(r2.history["val_loss"], r1.history["val_loss"])
 
 
+def _tiny_carry(v: float):
+    import jax.numpy as jnp
+    return {"key": jax.random.PRNGKey(int(v)),
+            "params": {"w": jnp.full((3,), float(v))}}
+
+
+def _carry_val(carry) -> float:
+    return float(np.asarray(carry["params"]["w"])[0])
+
+
+class TestOrbaxCrashWindows:
+    """The Orbax backend replaces checkpoints with a tmp+swap (write
+    state.tmp, rename state->state.old, promote tmp, drop old). A crash in
+    any window must leave a loadable checkpoint — either the completed new
+    save or the previous one — never nothing."""
+
+    def _save(self, path, v, epochs):
+        import pytest
+        pytest.importorskip("orbax.checkpoint")
+        from st_dadk_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(path, _tiny_carry(v), epochs, [])
+
+    def test_overwrite_swaps_cleanly(self, tmp_path):
+        from st_dadk_tpu.train.checkpoint import (checkpoint_exists,
+                                                  load_checkpoint)
+        ckpt = tmp_path / "ck"
+        self._save(ckpt, 1.0, 5)
+        self._save(ckpt, 2.0, 10)
+        assert (ckpt / "state").exists()
+        assert not (ckpt / "state.tmp").exists()
+        assert not (ckpt / "state.old").exists()
+        carry, epochs, _ = load_checkpoint(ckpt)
+        assert _carry_val(carry) == 2.0 and epochs == 10
+        assert checkpoint_exists(ckpt)
+
+    def test_window_state_plus_tmp_prefers_completed(self, tmp_path):
+        """Crash after writing state.tmp but before any rename: `state` is
+        still the last COMPLETED save and must win over the newer tmp."""
+        import shutil
+        from st_dadk_tpu.train.checkpoint import (checkpoint_exists,
+                                                  load_checkpoint)
+        a, b, ckpt = tmp_path / "a", tmp_path / "b", tmp_path / "ck"
+        self._save(a, 1.0, 5)
+        self._save(b, 2.0, 10)
+        ckpt.mkdir()
+        shutil.move(str(a / "state"), str(ckpt / "state"))
+        shutil.move(str(b / "state"), str(ckpt / "state.tmp"))
+        assert checkpoint_exists(ckpt)
+        carry, epochs, _ = load_checkpoint(ckpt)
+        assert _carry_val(carry) == 1.0 and epochs == 5
+
+    def test_window_tmp_plus_old_prefers_tmp(self, tmp_path):
+        """Crash between demoting the old state and promoting tmp: tmp is
+        fully written (save+wait completed before any rename) and newer."""
+        import shutil
+        from st_dadk_tpu.train.checkpoint import (checkpoint_exists,
+                                                  load_checkpoint)
+        a, b, ckpt = tmp_path / "a", tmp_path / "b", tmp_path / "ck"
+        self._save(a, 1.0, 5)
+        self._save(b, 2.0, 10)
+        ckpt.mkdir()
+        shutil.move(str(a / "state"), str(ckpt / "state.old"))
+        shutil.move(str(b / "state"), str(ckpt / "state.tmp"))
+        assert checkpoint_exists(ckpt)
+        carry, epochs, _ = load_checkpoint(ckpt)
+        assert _carry_val(carry) == 2.0 and epochs == 10
+
+    def test_window_state_plus_old_prefers_state(self, tmp_path):
+        """Crash after promoting tmp but before dropping the old copy."""
+        import shutil
+        from st_dadk_tpu.train.checkpoint import load_checkpoint
+        a, b, ckpt = tmp_path / "a", tmp_path / "b", tmp_path / "ck"
+        self._save(a, 1.0, 5)
+        self._save(b, 2.0, 10)
+        ckpt.mkdir()
+        shutil.move(str(a / "state"), str(ckpt / "state.old"))
+        shutil.move(str(b / "state"), str(ckpt / "state"))
+        carry, epochs, _ = load_checkpoint(ckpt)
+        assert _carry_val(carry) == 2.0 and epochs == 10
+
+    def test_save_over_crash_residue_recovers(self, tmp_path):
+        """A save on top of any crash residue must converge back to the
+        clean single-`state` layout."""
+        import shutil
+        from st_dadk_tpu.train.checkpoint import load_checkpoint
+        a, ckpt = tmp_path / "a", tmp_path / "ck"
+        self._save(a, 1.0, 5)
+        ckpt.mkdir()
+        shutil.move(str(a / "state"), str(ckpt / "state.tmp"))
+        self._save(ckpt, 3.0, 15)
+        assert (ckpt / "state").exists()
+        assert not (ckpt / "state.tmp").exists()
+        assert not (ckpt / "state.old").exists()
+        carry, epochs, _ = load_checkpoint(ckpt)
+        assert _carry_val(carry) == 3.0 and epochs == 15
+
+    def test_empty_dir_raises_and_not_exists(self, tmp_path):
+        import pytest
+        pytest.importorskip("orbax.checkpoint")
+        from st_dadk_tpu.train.checkpoint import (checkpoint_exists,
+                                                  load_checkpoint)
+        ckpt = tmp_path / "ck"
+        ckpt.mkdir()
+        assert not checkpoint_exists(ckpt)
+        with pytest.raises(FileNotFoundError):
+            load_checkpoint(ckpt)
+
+
 def test_orbax_backend_resume_bitwise(tmp_path):
     """A non-.npz checkpoint path selects the Orbax backend; interrupted +
     resumed training must still equal the uninterrupted run bit-for-bit."""
