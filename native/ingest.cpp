@@ -120,21 +120,26 @@ int stdadk_load_csv(const char* path, float** z_out, double** coords_out,
     std::vector<float> zs;
     std::vector<int64_t> ts;
     xs.reserve(1 << 17); ys.reserve(1 << 17);
+    std::vector<double> vals(static_cast<size_t>(ncols));  // sized by header, no column cap
     int64_t t_max = 1;
     while (p < end) {
         if (*p == '\n' || *p == '\r') { ++p; continue; }
-        double vals[16];
         int c = 0;
-        while (c < ncols && c < 16 && p < end) {
+        while (c < ncols && p < end && *p != '\n' && *p != '\r') {
+            // Find the field's end BEFORE strtod: strtod treats '\n' as
+            // leading whitespace, so an empty trailing field ("...,3,\n")
+            // would otherwise parse the NEXT line's first value and swallow
+            // that row. Bounding the parse at the field end makes
+            // empty/garbage fields (mid-row or end-of-row) NaN as the
+            // contract above promises.
+            const char* fend = p;
+            while (fend < end && *fend != ',' && *fend != '\n' && *fend != '\r')
+                ++fend;
             char* next = nullptr;
-            vals[c] = std::strtod(p, &next);
-            if (next == p) {  // empty/garbage field
-                vals[c] = NAN;
-                while (p < end && *p != ',' && *p != '\n') ++p;
-            } else {
-                p = next;
-            }
+            double v = std::strtod(p, &next);
+            vals[size_t(c)] = (next == p || next > fend) ? NAN : v;
             ++c;
+            p = fend;
             if (p < end && *p == ',') ++p;
             else break;
         }

@@ -42,24 +42,14 @@ from st_dadk_tpu.train.runner import (load_all_results,  # noqa: E402
                                       run_multiple_experiments)
 from st_dadk_tpu.utils.io import save_json  # noqa: E402
 
-BASE = dict(
-    tag="ab_paired", data_file="data/2a/2a_8.csv",
-    k_spatial_centers=[25, 81, 121], k_temporal_centers=[10, 15, 45],
-    spatial_basis_function="wendland", spatial_init_method="gmm",
-    spatial_learnable=True, gradient_damping=True, damping_threshold=0.0,
-    damping_strength=5.0, domain_penalty_weight=0.01,
-    sparsity_penalty_type="sparse_group", sparsity_lambda_l1=0.0,
-    sparsity_lambda_group=0.0, sparsity_apply_to_temporal=False,
-    hidden_dims=[256, 256, 128], dropout=0.1, layernorm=True,
-    obs_method="site-wise", obs_ratio=0.1, obs_spatial_pattern="corner",
-    obs_spatial_intensity=10.0, split_method="random", train_ratio=0.8,
-    epochs=500, lr=2e-2, basis_lr_ratio=0.05, weight_decay=5e-4,
-    batch_size=4096, patience=50, grad_clip=10.0, scheduler="cosine",
-    warmup_epochs=10, basis_unfreeze_epoch=10, basis_lr_rampup_epochs=10,
-    regression_type="multi-quantile",
-    quantile_levels=[0.05, 0.25, 0.5, 0.75, 0.95],
-    base_seed=2025, save_plots=False, save_artifacts=True,
-)
+from st_dadk_tpu.bench_workload import bench_workload  # noqa: E402
+
+# the ONE bench workload (st_dadk_tpu/bench_workload.py) with explicit
+# deviations: results are read back per-arm via load_all_results, which
+# needs the per-experiment results.json artifacts on disk. NOTE this makes
+# arm wall_seconds include artifact IO that bench.py's finalize does not —
+# compare arms to each other, not to the headline fits/hour.
+BASE = bench_workload(tag="ab_paired", save_artifacts=True)
 
 
 def _parse_overrides(pairs):

@@ -29,7 +29,8 @@ from st_dadk_tpu.config import ExperimentConfig
 from st_dadk_tpu.dataio.kaust import load_kaust_csv
 from st_dadk_tpu.dataio.arrays import PointSet
 from st_dadk_tpu.models.st_interp import init_model, spec_from_config
-from st_dadk_tpu.ops.init_centers import init_spatial_centers
+from st_dadk_tpu.ops.init_centers import (DATA_ADAPTIVE_INIT_METHODS,
+                                          init_spatial_centers)
 from st_dadk_tpu.train.loop import fit, predict
 import jax
 
@@ -84,8 +85,7 @@ def main():
     train_ps, valid_ps = ps(perm[:n_tr]), ps(perm[n_tr:])
 
     train_coords = None
-    if cfg.spatial_init_method in ("gmm", "random_site", "kmeans_balanced",
-                                   "kmeans_exact"):
+    if cfg.spatial_init_method in DATA_ADAPTIVE_INIT_METHODS:
         train_coords = train_ps.coords
     np.random.seed(args.seed)
     centers, bw = init_spatial_centers(cfg.spatial_init_method,

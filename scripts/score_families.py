@@ -51,7 +51,8 @@ import pandas as pd  # noqa: E402
 from st_dadk_tpu.config import ExperimentConfig  # noqa: E402
 from st_dadk_tpu.dataio.arrays import PointSet  # noqa: E402
 from st_dadk_tpu.models.st_interp import init_model, spec_from_config  # noqa: E402
-from st_dadk_tpu.ops.init_centers import init_spatial_centers  # noqa: E402
+from st_dadk_tpu.ops.init_centers import (  # noqa: E402
+    DATA_ADAPTIVE_INIT_METHODS, init_spatial_centers)
 from st_dadk_tpu.ops.losses import compute_crps_multi_quantile  # noqa: E402
 from st_dadk_tpu.train.loop import fit, predict  # noqa: E402
 
@@ -88,8 +89,7 @@ def fit_and_predict(cfg: ExperimentConfig, seed: int,
     valid_ps = _pointset(coords[va_idx], t[va_idx], zn[va_idx])
 
     train_coords = None
-    if cfg.spatial_init_method in ("gmm", "random_site", "kmeans_balanced",
-                                   "kmeans_exact"):
+    if cfg.spatial_init_method in DATA_ADAPTIVE_INIT_METHODS:
         train_coords = train_ps.coords
     np.random.seed(seed)
     centers, bw = init_spatial_centers(cfg.spatial_init_method,

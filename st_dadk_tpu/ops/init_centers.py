@@ -38,6 +38,12 @@ from st_dadk_tpu.ops.basis import uniform_bandwidth_for, uniform_grid_centers
 
 MAX_INIT_SAMPLES = 10_000
 
+# init methods that consume training coordinates (callers gate whether to
+# pass train_coords on membership here — single point to extend when a new
+# data-adaptive method is added)
+DATA_ADAPTIVE_INIT_METHODS = ("gmm", "random_site", "kmeans_balanced",
+                              "kmeans_exact")
+
 
 # ---------------------------------------------------------------------------
 # k-means++ seeding (jittable)

@@ -594,8 +594,8 @@ def _lane_keys(setups: List):
 
 
 def _lane_coords(cfg: ExperimentConfig, setups: List) -> List:
-    needs = cfg.spatial_init_method in ("gmm", "random_site",
-                                        "kmeans_balanced", "kmeans_exact")
+    from st_dadk_tpu.ops.init_centers import DATA_ADAPTIVE_INIT_METHODS
+    needs = cfg.spatial_init_method in DATA_ADAPTIVE_INIT_METHODS
     return [s.train_ps.coords if needs else None for s in setups]
 
 
@@ -1377,7 +1377,8 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
             s.cfg, s, fit_res, out_dir, per_lane_time, verbose=False,
             stage_timings={"setup_seconds": t_setup / M,
                            "train_seconds": (t_train - t_setup) / M},
-            precomputed=precomputed_lanes[li] if precomputed_lanes else None)
+            precomputed=precomputed_lanes[li] if precomputed_lanes else None,
+            steps_per_epoch=spec.n_batches)
         r.pop("_split_predictions", None)
         results.append(r)
     if state["verbose"]:

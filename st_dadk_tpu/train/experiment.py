@@ -294,9 +294,9 @@ class ExperimentSetup:
         self.np_rng_state = np.random.get_state()
         if not defer_model:
             train_coords = None
-            if cfg.spatial_init_method in ("gmm", "random_site",
-                                           "kmeans_balanced",
-                                           "kmeans_exact"):
+            from st_dadk_tpu.ops.init_centers import (
+                DATA_ADAPTIVE_INIT_METHODS)
+            if cfg.spatial_init_method in DATA_ADAPTIVE_INIT_METHODS:
                 train_coords = self.train_ps.coords
             centers, bandwidths = init_spatial_centers(
                 cfg.spatial_init_method, cfg.k_spatial_centers, train_coords,
@@ -435,7 +435,8 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
                         total_time: float, verbose: bool = False,
                         stage_timings: Optional[Dict[str, float]] = None,
                         precomputed: Optional[Dict[str, Any]] = None,
-                        write_artifacts: bool = True) -> Dict[str, Any]:
+                        write_artifacts: bool = True,
+                        steps_per_epoch: Optional[int] = None) -> Dict[str, Any]:
     """Evaluation + results.json + artifacts + plots for one completed fit.
 
     `write_artifacts=False` computes everything (metrics, split
@@ -529,10 +530,16 @@ def finalize_experiment(cfg: ExperimentConfig, setup: "ExperimentSetup",
     results["stage_timings"]["eval_seconds"] = time.time() - t_eval_start
     train_s = results["stage_timings"].get("train_seconds")
     if train_s:
-        from st_dadk_tpu.train.loop import adaptive_batch_size
-        bs = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
-        spb = max(1, -(-train_ps.n_real // bs))
-        results["steps_per_second"] = result.n_epochs_run * spb / train_s
+        if steps_per_epoch is None:
+            # sequential engine: recompute the loop's own batching. Batched
+            # engines pass the shared program's actual steps_per_epoch
+            # (B_shared from the min-lane batch size), which can differ for
+            # heterogeneous lane sizes.
+            from st_dadk_tpu.train.loop import adaptive_batch_size
+            bs = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
+            steps_per_epoch = max(1, -(-train_ps.n_real // bs))
+        results["steps_per_second"] = (result.n_epochs_run * steps_per_epoch
+                                       / train_s)
     for split, m in (("train", train_metrics), ("valid", val_metrics),
                      ("test", test_metrics)):
         results[f"{split}_mse"] = m["mse"]

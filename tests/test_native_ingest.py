@@ -108,6 +108,41 @@ def test_float64_distinct_sites(native_lib, tmp_path):
     assert (x1, 0.5) in meta["site_to_idx"]
 
 
+def test_trailing_empty_field(native_lib, tmp_path):
+    """A row ending in a trailing comma (empty z) must yield NaN for THAT
+    row and leave the next row intact (regression: strtod treated the
+    newline as leading whitespace and parsed the next line's x as this
+    row's z, then swallowed the whole next row)."""
+    csv = tmp_path / "trail.csv"
+    with open(csv, "w") as f:
+        f.write("x,y,t,z\n")
+        f.write("0.1,0.2,3,\n")       # empty z at end-of-row
+        f.write("0.5,0.6,4,1.25\n")
+    from st_dadk_tpu.dataio.native import load_csv_native
+    z, coords, n = load_csv_native(csv)
+    assert n == 2, "row after the trailing-comma row was dropped"
+    assert z.shape == (4, 2)
+    assert np.isnan(z[2, 0]), "empty trailing field must be NaN"
+    assert z[3, 1] == np.float32(1.25)
+    assert np.allclose(coords, [[0.1, 0.2], [0.5, 0.6]])
+
+
+def test_many_columns(native_lib, tmp_path):
+    """Columns are bounded by the header, not a hard cap (regression: a
+    16-column cap silently made z all-NaN when z sat past column 16)."""
+    extras = [f"c{i}" for i in range(20)]
+    csv = tmp_path / "wide.csv"
+    with open(csv, "w") as f:
+        f.write(",".join(extras) + ",x,y,z\n")
+        f.write(",".join(str(i) for i in range(20)) + ",0.5,0.25,7.0\n")
+        f.write(",".join(str(i) for i in range(20)) + ",0.75,0.1,-3.0\n")
+    from st_dadk_tpu.dataio.native import load_csv_native
+    z, coords, n = load_csv_native(csv)
+    assert n == 2 and z.shape == (1, 2)
+    assert np.allclose(coords, [[0.5, 0.25], [0.75, 0.1]])
+    assert np.allclose(z[0], [7.0, -3.0])
+
+
 def test_real_file_parity(native_lib, ref_data_root):
     path = ref_data_root / "2a" / "2a_8.csv"
     from st_dadk_tpu.dataio.native import load_csv_native
