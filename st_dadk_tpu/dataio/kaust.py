@@ -96,8 +96,11 @@ def load_kaust_csv_single(
     # contract as load_kaust_csv; consumers like predictions_to_csv rely on it
     metadata: Dict = {"S": S, "T": T, "site_to_idx": site_to_idx,
                       "z_mean": 0.0, "z_std": 1.0}
-    if normalize:
-        z_flat = z_data[~np.isnan(z_data)]
+    z_flat = z_data[~np.isnan(z_data)]
+    if normalize and z_flat.size:
+        # z-less files (the *_test.csv layout tolerated above) keep the
+        # 0/1 identity stats: an empty slice's mean/std would poison
+        # metadata with NaN and make every later denormalization NaN
         z_mean = float(z_flat.mean())
         z_std = float(z_flat.std()) + 1e-8   # constant field: no div-by-0
         z_data = (z_data - z_mean) / z_std

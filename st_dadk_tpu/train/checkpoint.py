@@ -49,8 +49,7 @@ def load_checkpoint(path) -> Tuple[Dict[str, Any], int, list]:
 def checkpoint_exists(path) -> bool:
     p = Path(path)
     if is_orbax_path(path):
-        return (_orbax_state_dir(p) is not None
-                or (p / "_CHECKPOINT_METADATA").exists())
+        return _orbax_state_dir(p) is not None
     return p.exists()
 
 
@@ -58,10 +57,15 @@ def _orbax_state_dir(p: Path):
     """Best available state dir, crash-tolerant (see _save_orbax's swap):
     `state` (normal), else `state.tmp` (fully written — the swap renames
     the old dir away before promoting tmp, so a crash in that window
-    leaves only tmp+old), else `state.old` (pre-crash fallback)."""
+    leaves only tmp+old), else `state.old` (pre-crash fallback). A path
+    that IS an Orbax checkpoint itself (the user pointed at <ckpt>/state
+    directly, or at a checkpoint written by plain Orbax) loads as-is, so
+    checkpoint_exists() -> True always means load_checkpoint() succeeds."""
     for name in ("state", "state.tmp", "state.old"):
         if (p / name).exists():
             return p / name
+    if (p / "_CHECKPOINT_METADATA").exists():
+        return p
     return None
 
 

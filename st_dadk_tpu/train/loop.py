@@ -530,11 +530,36 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     else:
         val_loss, val_rmse = _validate(spec, ema, consts, data, mesh=mesh)
 
+    improved, was_stopped, scalars = _epoch_bookkeeping(
+        spec, carry, val_loss, epoch_idx, active)
+    best_ema = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(improved, new, old), ema, carry["best_ema"])
+    keep = lambda new, old: jax.tree_util.tree_map(
+        lambda a, c: jnp.where(was_stopped, c, a), new, old)
+    new_carry = {
+        "params": keep(params, carry["params"]),
+        "opt_state": keep(opt_state, carry["opt_state"]),
+        "ema": keep(ema, carry["ema"]),
+        "best_ema": keep(best_ema, carry["best_ema"]),
+        **scalars,
+    }
+    hist = _epoch_hist(was_stopped, train_loss, val_loss, val_rmse)
+    if spec.record_centers:
+        hist["centers"] = new_carry["params"]["basis"]["centers"]
+    return new_carry, hist
+
+
+def _epoch_bookkeeping(spec: LoopSpec, carry: Dict[str, Any],
+                       val_loss: jax.Array, epoch_idx: jax.Array,
+                       active: jax.Array):
+    """End-of-epoch early-stop/best-val scalar bookkeeping, shared verbatim
+    by the structured (_run_epoch) and packed (_run_epoch_packed) bodies so
+    the two cannot drift. Returns (improved, was_stopped, scalars) where
+    `scalars` holds the keep-masked scalar carry entries; the caller applies
+    `improved`/`was_stopped` to its own param-tree layout."""
     improved = jnp.logical_and(jnp.isfinite(val_loss),
                                val_loss < carry["best_val"])
     best_val = jnp.where(improved, val_loss, carry["best_val"])
-    best_ema = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(improved, new, old), ema, carry["best_ema"])
     has_best = jnp.logical_or(carry["has_best"], improved)
     patience_ctr = jnp.where(improved, 0, carry["patience_ctr"] + 1)
     stop_now = patience_ctr >= spec.patience
@@ -546,28 +571,26 @@ def _run_epoch(spec: LoopSpec, consts: Dict[str, Any], data: TrainData,
     # lanes that had already stopped keep their previous state entirely;
     # inactive (padding) epochs at the tail of a partial chunk likewise
     was_stopped = jnp.logical_or(carry["stopped"], jnp.logical_not(active))
-    keep = lambda new, old: jax.tree_util.tree_map(
-        lambda a, c: jnp.where(was_stopped, c, a), new, old)
-    new_carry = {
-        "params": keep(params, carry["params"]),
-        "opt_state": keep(opt_state, carry["opt_state"]),
-        "ema": keep(ema, carry["ema"]),
-        "best_ema": keep(best_ema, carry["best_ema"]),
+    scalars = {
         "best_val": jnp.where(was_stopped, carry["best_val"], best_val),
         "has_best": jnp.where(was_stopped, carry["has_best"], has_best),
-        "patience_ctr": jnp.where(was_stopped, carry["patience_ctr"], patience_ctr),
+        "patience_ctr": jnp.where(was_stopped, carry["patience_ctr"],
+                                  patience_ctr),
         "stopped": jnp.where(was_stopped, carry["stopped"], stopped),
         "stop_epoch": jnp.where(was_stopped, carry["stop_epoch"], stop_epoch),
         "key": carry["key"],
     }
-    hist = {
+    return improved, was_stopped, scalars
+
+
+def _epoch_hist(was_stopped: jax.Array, train_loss: jax.Array,
+                val_loss: jax.Array, val_rmse: jax.Array
+                ) -> Dict[str, jax.Array]:
+    return {
         "train_loss": jnp.where(was_stopped, jnp.nan, train_loss),
         "val_loss": jnp.where(was_stopped, jnp.nan, val_loss),
         "val_rmse": jnp.where(was_stopped, jnp.nan, val_rmse),
     }
-    if spec.record_centers:
-        hist["centers"] = new_carry["params"]["basis"]["centers"]
-    return new_carry, hist
 
 
 # ---------------------------------------------------------------------------
@@ -721,19 +744,9 @@ def _run_epoch_packed(spec: LoopSpec, ps, consts: Dict[str, Any],
         val_loss, val_rmse = _validate(spec, ps.unpack(ek), consts, data,
                                        mesh=mesh)
 
-    improved = jnp.logical_and(jnp.isfinite(val_loss),
-                               val_loss < carry["best_val"])
-    best_val = jnp.where(improved, val_loss, carry["best_val"])
+    improved, was_stopped, scalars = _epoch_bookkeeping(
+        spec, carry, val_loss, epoch_idx, active)
     bk = {g: jnp.where(improved, ek[g], carry["bk"][g]) for g in ek}
-    has_best = jnp.logical_or(carry["has_best"], improved)
-    patience_ctr = jnp.where(improved, 0, carry["patience_ctr"] + 1)
-    stop_now = patience_ctr >= spec.patience
-    stopped = jnp.logical_or(carry["stopped"], stop_now)
-    stop_epoch = jnp.where(
-        jnp.logical_and(stop_now, jnp.logical_not(carry["stopped"])),
-        epoch_idx + 1, carry["stop_epoch"])
-
-    was_stopped = jnp.logical_or(carry["stopped"], jnp.logical_not(active))
     kv = lambda a, c: jnp.where(was_stopped, c, a)
     new_carry = {
         "pk": {g: kv(pk[g], carry["pk"][g]) for g in pk},
@@ -742,19 +755,9 @@ def _run_epoch_packed(spec: LoopSpec, ps, consts: Dict[str, Any],
         "ek": {g: kv(ek[g], carry["ek"][g]) for g in ek},
         "bk": {g: kv(bk[g], carry["bk"][g]) for g in bk},
         "step": kv(step, carry["step"]),
-        "best_val": jnp.where(was_stopped, carry["best_val"], best_val),
-        "has_best": jnp.where(was_stopped, carry["has_best"], has_best),
-        "patience_ctr": jnp.where(was_stopped, carry["patience_ctr"],
-                                  patience_ctr),
-        "stopped": jnp.where(was_stopped, carry["stopped"], stopped),
-        "stop_epoch": jnp.where(was_stopped, carry["stop_epoch"], stop_epoch),
-        "key": carry["key"],
+        **scalars,
     }
-    hist = {
-        "train_loss": jnp.where(was_stopped, jnp.nan, train_loss),
-        "val_loss": jnp.where(was_stopped, jnp.nan, val_loss),
-        "val_rmse": jnp.where(was_stopped, jnp.nan, val_rmse),
-    }
+    hist = _epoch_hist(was_stopped, train_loss, val_loss, val_rmse)
     if spec.record_centers:
         hist["centers"] = new_carry["pk"]["basis"][: 2 * k].reshape(k, 2)
     return new_carry, hist
@@ -1320,6 +1323,20 @@ _predict_chunked = jax.jit(_predict_chunked_raw, static_argnums=(0, 5))
 _VMAP_PREDICT_CACHE: Dict[Any, Any] = {}
 
 
+def _pad_points(coords: np.ndarray, t: np.ndarray, chunk: int
+                ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Zero-pad evaluation points to a chunk multiple (the one padding
+    convention for both single-model and lane-batched inference; callers
+    truncate the prediction back to the real n)."""
+    n = coords.shape[0]
+    n_pad = round_up(n, chunk)
+    coords_p = np.zeros((n_pad, 2), np.float32)
+    coords_p[:n] = coords
+    t_p = np.zeros((n_pad, 1), np.float32)
+    t_p[:n] = t.reshape(n, 1)
+    return coords_p, t_p, n_pad // chunk
+
+
 def predict_lanes(spec_model: ModelSpec, params_b: Params,
                   consts_b: Dict[str, Any], coords: np.ndarray,
                   t: np.ndarray, chunk: int = 32768) -> np.ndarray:
@@ -1327,12 +1344,7 @@ def predict_lanes(spec_model: ModelSpec, params_b: Params,
     ONE jitted vmapped program instead of M chunked predict dispatches.
     Returns (M, n, out_dim)."""
     n = coords.shape[0]
-    n_pad = round_up(n, chunk)
-    n_chunks = n_pad // chunk
-    coords_p = np.zeros((n_pad, 2), np.float32)
-    coords_p[:n] = coords
-    t_p = np.zeros((n_pad, 1), np.float32)
-    t_p[:n] = t.reshape(n, 1)
+    coords_p, t_p, n_chunks = _pad_points(coords, t, chunk)
 
     key = (spec_model, n_chunks, chunk)
     fn = _VMAP_PREDICT_CACHE.get(key)
@@ -1351,12 +1363,7 @@ def predict(spec_model: ModelSpec, params: Params, consts: Dict[str, Any],
             chunk: int = 32768) -> np.ndarray:
     """Dense batched inference; pads to a chunk multiple and truncates."""
     n = coords.shape[0]
-    n_pad = round_up(n, chunk)
-    n_chunks = n_pad // chunk
-    coords_p = np.zeros((n_pad, 2), np.float32)
-    coords_p[:n] = coords
-    t_p = np.zeros((n_pad, 1), np.float32)
-    t_p[:n] = t.reshape(n, 1)
+    coords_p, t_p, n_chunks = _pad_points(coords, t, chunk)
     preds = _predict_chunked(spec_model,
                              jax.tree_util.tree_map(jnp.asarray, params),
                              consts, jnp.asarray(coords_p), jnp.asarray(t_p),

@@ -135,6 +135,9 @@ def run_multiple_experiments(
     devices (minibatch sharding + gradient all-reduce; right for large
     single fits, SURVEY.md section 2.4 row 3).
     """
+    if engine not in ("sequential", "vmap", "dp"):
+        raise ValueError(f"Unknown engine {engine!r}: expected "
+                         "'sequential', 'vmap' or 'dp'")
     cfg = (config if isinstance(config, ExperimentConfig)
            else ExperimentConfig.from_dict(config))
     n_experiments = cfg.n_experiments

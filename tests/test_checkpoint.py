@@ -201,6 +201,22 @@ class TestOrbaxCrashWindows:
         carry, epochs, _ = load_checkpoint(ckpt)
         assert _carry_val(carry) == 3.0 and epochs == 15
 
+    def test_bare_orbax_checkpoint_dir_loads(self, tmp_path):
+        """A path that IS an Orbax checkpoint (the user pointed at
+        <ckpt>/state directly) must load, so checkpoint_exists() == True
+        always implies load_checkpoint() succeeds (regression: exists said
+        True via _CHECKPOINT_METADATA but load raised FileNotFoundError)."""
+        import shutil
+        from st_dadk_tpu.train.checkpoint import (checkpoint_exists,
+                                                  load_checkpoint)
+        a, ckpt = tmp_path / "a", tmp_path / "bare"
+        self._save(a, 4.0, 7)
+        shutil.move(str(a / "state"), str(ckpt))
+        assert (ckpt / "_CHECKPOINT_METADATA").exists()
+        assert checkpoint_exists(ckpt)
+        carry, epochs, _ = load_checkpoint(ckpt)
+        assert _carry_val(carry) == 4.0 and epochs == 7
+
     def test_empty_dir_raises_and_not_exists(self, tmp_path):
         import pytest
         pytest.importorskip("orbax.checkpoint")

@@ -170,6 +170,18 @@ class TestRealData:
         assert abs(float(np.nanstd(z)) - 1.0) < 1e-4
         assert "z_mean" in meta and "z_std" in meta
 
+    def test_normalize_zless_file_keeps_identity_stats(self, tmp_path):
+        """normalize=True on a z-less CSV (the *_test.csv layout) must keep
+        the 0/1 identity stats instead of NaN-poisoning metadata
+        (regression: mean/std of the empty observed slice)."""
+        from st_dadk_tpu.dataio.kaust import load_kaust_csv_single
+        path = tmp_path / "zless.csv"
+        path.write_text("x,y,t\n0.1,0.2,1\n0.3,0.4,2\n")
+        z, coords, meta = load_kaust_csv_single(path, normalize=True,
+                                                verbose=False)
+        assert np.isnan(z).all() and coords.shape == (2, 2)
+        assert meta["z_mean"] == 0.0 and meta["z_std"] == 1.0
+
     def test_spatial_only_1a(self, ref_data_root):
         from st_dadk_tpu.dataio.kaust import load_kaust_csv_single
         path = ref_data_root / "1a" / "1a_1_train.csv"
