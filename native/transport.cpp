@@ -137,7 +137,7 @@ int64_t stdadk_transport_simplex(
 
     int64_t pivots = 0;
     const double eps = 1e-11;
-    while (pivots < max_pivots) {
+    while (true) {
         // entering arc: most negative reduced cost (vectorizable scan)
         double best = -eps;
         int64_t bi = -1, bj = -1;
@@ -154,6 +154,11 @@ int64_t stdadk_transport_simplex(
             if (row_j >= 0) { best = row_best; bi = i; bj = row_j; }
         }
         if (bi < 0) break;   // optimal
+        // cap check AFTER the entering-arc scan: a basis that becomes
+        // optimal on exactly the max_pivots-th pivot (or a warm start
+        // already optimal with max_pivots == 0) is a solved instance,
+        // not a cap hit
+        if (pivots >= max_pivots) return -1;
 
         // cycle: tree path between bi and (u+bj), plus the entering arc.
         // Walk both endpoints up to their LCA, recording nodes.
@@ -209,7 +214,6 @@ int64_t stdadk_transport_simplex(
         if (rebuild_adj() != n - 1 || !reroot()) return -2;
         ++pivots;
     }
-    if (pivots >= max_pivots) return -1;
     return (int64_t)pivots;
 }
 

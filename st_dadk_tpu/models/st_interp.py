@@ -278,10 +278,11 @@ def _trunk_from_h1(spec: ModelSpec, params: Params, h1: jax.Array,
                    train: bool = False,
                    rng: Optional[jax.Array] = None) -> jax.Array:
     """Hidden MLP given the first layer's pre-norm output; mirrors `trunk`
-    exactly (same LayerNorm/ReLU/dropout structure and mask source),
-    just skipping the first Linear."""
+    exactly (same LayerNorm/ReLU/dropout structure, mask source, and
+    compute_dtype handling), just skipping the first Linear."""
+    cd = _cdtype(spec)
     mlp = params["mlp"]
-    h = h1
+    h = h1.astype(cd)
     use_dropout = train and spec.dropout > 0.0
     if use_dropout:
         if rng is None:
@@ -290,16 +291,18 @@ def _trunk_from_h1(spec: ModelSpec, params: Params, h1: jax.Array,
     for i in range(len(spec.hidden_dims)):
         if i > 0:
             lin = mlp[f"linear_{i}"]
-            h = h @ lin["w"] + lin["b"]
+            h = h @ lin["w"].astype(cd) + lin["b"].astype(cd)
         if spec.layernorm:
             ln = mlp[f"ln_{i}"]
-            mean = jnp.mean(h, axis=-1, keepdims=True)
-            var = jnp.var(h, axis=-1, keepdims=True)
-            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-            h = h * ln["scale"] + ln["bias"]
+            h32 = h.astype(jnp.float32)
+            mean = jnp.mean(h32, axis=-1, keepdims=True)
+            var = jnp.var(h32, axis=-1, keepdims=True)
+            h = ((h32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(cd)
+            h = h * ln["scale"].astype(cd) + ln["bias"].astype(cd)
         h = jax.nn.relu(h)
         if use_dropout:
-            h = jnp.where(masks[i], h / (1.0 - spec.dropout), 0.0)
+            h = jnp.where(masks[i], h / jnp.asarray(1.0 - spec.dropout, cd),
+                          jnp.zeros((), cd))
     return h
 
 

@@ -47,6 +47,15 @@ def make_dp_train_step(spec: LoopSpec, mesh: Mesh, axis: str = "data"):
         wsum = jnp.maximum(jnp.sum(w), 1e-12)
         share = wsum * n_dev / jax.lax.psum(wsum, axis)
 
+        # per-shard dropout decorrelation: the replicated rng would give
+        # every shard the SAME (n_local, sum(hidden)) mask tensor, i.e.
+        # example i of every shard shares one mask — n_dev x fewer
+        # independent masks than the unsharded loop draws over the global
+        # batch. Folding in the shard index keeps masks independent (the
+        # stream differs from unsharded, like every other mask-source
+        # implementation detail; distribution is identical).
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
         def loss_fn(p):
             return share * training_loss(spec, p, consts, coords, t, y, w,
                                          train=True, rng=rng)

@@ -187,17 +187,25 @@ def _tp_forward_train(spec: ModelSpec, params: Params, consts: Dict[str, Any],
 
 
 def _tp_supported_loss(regression, quantile_levels, current_quantile):
-    """TP implements the mean / quantile / multi-quantile data losses plus
-    the domain penalty. Sparsity/movement/non-crossing penalties are NOT
-    sharded-layout-aware yet — refuse loudly instead of silently optimizing
-    a different objective than fit() for the same config."""
+    """The mean / quantile / multi-quantile DATA losses in the TP layout.
+    Penalties live in _tp_penalties (epoch path) or the explicit
+    domain-penalty argument of make_tp_train_step — see those for what each
+    entry point optimizes."""
     from st_dadk_tpu.ops.losses import (mse_loss, multi_quantile_loss,
                                         quantile_loss)
     if regression == "multi-quantile":
         q = jnp.asarray(quantile_levels, jnp.float32)
         return lambda preds, y, w: multi_quantile_loss(preds, y, q, w)
     if regression == "quantile":
-        tau = float(current_quantile if current_quantile is not None else 0.5)
+        # current_quantile=None defaults to quantile_levels[0], matching the
+        # sequential engine's substitution (train/experiment.py) — a 0.5
+        # fallback would silently fit the median for e.g. levels=[0.9]
+        if current_quantile is not None:
+            tau = float(current_quantile)
+        elif quantile_levels:
+            tau = float(quantile_levels[0])
+        else:
+            tau = 0.5
         return lambda preds, y, w: quantile_loss(preds, y, tau, w)
     return lambda preds, y, w: mse_loss(preds, y, w)
 
@@ -254,6 +262,11 @@ def make_tp_train_step(spec: ModelSpec, mesh: Mesh, axis: str = "tp",
                        weight_decay: float = 0.0):
     """Jitted tensor-parallel train step: the batch is REPLICATED, the basis
     axis (centers, bandwidths, first-layer spatial rows) is SHARDED.
+
+    Objective = data loss + (optional) domain penalty ONLY — by signature:
+    there is no way to request sparsity/movement/non-crossing penalties
+    here. Configs carrying those belong on `fit_tp`/`make_tp_epoch`, whose
+    _tp_penalties implements the full composite loss in the TP layout.
 
     Gradients of sharded leaves are purely local (their only cross-device
     dependency is the activation psum, whose backward is handled by
@@ -414,7 +427,7 @@ def make_tp_epoch(spec: ModelSpec, mesh: Mesh, loop_spec, axis: str = "tp"):
             return jax.tree_util.tree_map(lambda l: l * scale, tree)
 
         def step(sc, xs):
-            p, o, e = sc
+            p, o, e, nan_ep, loss_sum = sc
             idx, lrs, b = xs
             rng = jax.random.fold_in(drop_key, b)
             loss, grads = jax.value_and_grad(data_loss)(
@@ -439,20 +452,35 @@ def make_tp_epoch(spec: ModelSpec, mesh: Mesh, loop_spec, axis: str = "tp"):
                 grads["mlp"] = clip_group(grads["mlp"], loop_spec.grad_clip,
                                           {"w0_spatial"})
             prev = p
-            p, o = adamw_update(p, grads, o, lr_tree_for(p, lrs[0], lrs[1]),
-                                loop_spec.weight_decay)
-            p["mlp"]["w0_spatial"] = pin(p["mlp"]["w0_spatial"],
-                                         prev["mlp"]["w0_spatial"])
+            p_new, o_new = adamw_update(p, grads, o,
+                                        lr_tree_for(p, lrs[0], lrs[1]),
+                                        loop_spec.weight_decay)
+            p_new["mlp"]["w0_spatial"] = pin(p_new["mlp"]["w0_spatial"],
+                                             prev["mlp"]["w0_spatial"])
             if spec.spatial_learnable:
-                p["basis"] = jax.tree_util.tree_map(pin, p["basis"],
-                                                    prev["basis"])
-            e = ema_update(e, p, jnp.asarray(1.0 - 1.0 / (10.0 * B)))
-            return (p, o, e), loss
+                p_new["basis"] = jax.tree_util.tree_map(pin, p_new["basis"],
+                                                        prev["basis"])
+            e_new = ema_update(e, p_new, jnp.asarray(1.0 - 1.0 / (10.0 * B)))
+            # same NaN-poison gate as the replicated loop (train/loop.py
+            # _run_epoch, ref :693-733): the first non-finite loss's update
+            # applies (reference steps the optimizer before checking), every
+            # later batch of the epoch is skipped
+            executes = jnp.logical_not(nan_ep)
+            sel = lambda new, old: jax.tree_util.tree_map(
+                lambda a, c: jnp.where(executes, a, c), new, old)
+            p = sel(p_new, p)
+            o = sel(o_new, o)
+            e = sel(e_new, e)
+            loss_sum = loss_sum + jnp.where(executes, loss, 0.0)
+            nan_ep = jnp.logical_or(
+                nan_ep, jnp.logical_and(executes, ~jnp.isfinite(loss)))
+            return (p, o, e, nan_ep, loss_sum), None
 
-        (p2, o2, e2), losses = jax.lax.scan(
-            step, (params, opt, ema),
+        (p2, o2, e2, nan_epoch, loss_sum), _ = jax.lax.scan(
+            step, (params, opt, ema, jnp.asarray(False),
+                   jnp.asarray(0.0, jnp.float32)),
             (batch_idx, lr_epoch, jnp.arange(B, dtype=jnp.int32)))
-        train_loss = jnp.mean(losses)
+        train_loss = jnp.where(nan_epoch, jnp.nan, loss_sum / B)
 
         vp = _tp_forward_train(spec, e2, consts, va["coords"], va["t"],
                                axis, n_dev, None)

@@ -46,6 +46,10 @@ def _tag_part(param_name: str, param_value: Any) -> str:
     if param_name == "obs_method":
         return "site" if param_value == "site-wise" else "rand"
     if param_name == "obs_ratio":
+        # int() truncation is deliberate reference parity (ref
+        # run_grid_search.py:88: f'{int(param_value*100)}'), including its
+        # binary-float off-by-one (0.29*100 -> '28') so tags/directories
+        # match the reference's for identical grids
         return f"{int(param_value * 100)}"
     if param_name == "obs_spatial_pattern":
         return "cor" if param_value == "corner" else "unf"

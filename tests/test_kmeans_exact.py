@@ -208,6 +208,34 @@ class TestDedupTransportPath:
                                        float((ref_flows * cost_u).sum()),
                                        rtol=1e-9)
 
+    def test_native_simplex_optimal_at_pivot_cap_not_cap_hit(self):
+        """A basis that is ALREADY optimal must report success even with
+        max_pivots exhausted (regression: the cap check ran before the
+        optimality scan, so a warm start that was already optimal — or an
+        instance solved on exactly the capth pivot — returned -1 and the
+        caller discarded the exact answer for the slow LP path)."""
+        import pytest
+        from st_dadk_tpu.ops.kmeans_exact import (_native_transport_lib,
+                                                  transport_assign_native)
+        lib = _native_transport_lib()
+        if lib is None:
+            pytest.skip("libstdadk_transport.so not built")
+        rng = np.random.default_rng(7)
+        u, k = 25, 6
+        supplies = rng.integers(1, 9, size=u)
+        caps = balanced_caps(int(supplies.sum()), k)
+        cost_u = np.ascontiguousarray(rng.uniform(size=(u, k)), np.float64)
+        out = transport_assign_native(cost_u, supplies, caps)
+        if out is None:
+            pytest.skip("native solve failed")
+        flows, (flow, basis) = out
+        # warm re-solve of the SAME instance with a zero pivot budget: the
+        # basis is optimal, so this must succeed with 0 pivots, not -1
+        status = lib.stdadk_transport_simplex(
+            u, k, cost_u, np.ascontiguousarray(supplies, np.int64),
+            np.ascontiguousarray(caps, np.int64), flow, basis, 1, 0)
+        assert status == 0
+
     def test_seeding_survives_degenerate_potential(self):
         """k > n_unique: after all unique sites are chosen, remaining
         k-means++ potentials are 0 — seeding must fall back to uniform

@@ -215,6 +215,21 @@ class TestTPTrainStep:
                                    r_ref.history["train_loss"],
                                    rtol=0.02, atol=5e-4)
 
+    def test_tp_quantile_tau_defaults_to_first_level(self):
+        """current_quantile=None must default to quantile_levels[0] like the
+        sequential engine's substitution (train/experiment.py), not to the
+        median (regression: a 0.5 fallback silently fit the wrong tau for
+        e.g. levels=[0.9])."""
+        from st_dadk_tpu.ops.losses import quantile_loss
+        from st_dadk_tpu.parallel.tensor_parallel import _tp_supported_loss
+        preds = jnp.asarray([[0.2], [0.7]])
+        y = jnp.asarray([[0.5], [0.1]])
+        w = jnp.ones(2, jnp.float32)
+        fn = _tp_supported_loss("quantile", [0.9], None)
+        np.testing.assert_allclose(float(fn(preds, y, w)),
+                                   float(quantile_loss(preds, y, 0.9, w)),
+                                   rtol=1e-6)
+
     def test_tp_all_penalties_track_fit(self):
         """The full composite objective — delta P_nc, movement, sparsity
         (sharded spatial block via psum + replicated temporal), domain — on
