@@ -236,7 +236,10 @@ def main():
     rows = []
     synth_dir = Path(args.synth_data) if args.synth_data else None
     for job in iter_jobs(args.families, Path(args.data_dir), synth_dir):
-        if args.only and job["name"] not in args.only:
+        if args.only and job["name"] not in args.only \
+                and job["name"].split("@")[0] not in args.only:
+            # '--only 1b_1' selects the splitsol job AND its '@synth'
+            # counterpart; the suffixed form still works for one alone
             continue
         t0 = time.time()
         try:
@@ -262,7 +265,12 @@ def main():
         json.dump(rows, f, indent=2)
     print(f"\n[OK] wrote {out_dir}/scores.csv")
     if "rmse" in df.columns:
-        print(df.groupby("fam")[["rmse", "mae", "crps"]].mean().round(4))
+        # group by (fam, mode): synth rows score against a synthetic GRF
+        # realization at a different scale — pooling them with the real
+        # splitsol/train scores would make the family means reflect neither
+        # protocol
+        print(df.groupby(["fam", "mode"])[["rmse", "mae", "crps"]]
+              .mean().round(4))
 
 
 if __name__ == "__main__":

@@ -65,10 +65,9 @@ def fit_field(coords: np.ndarray, z: np.ndarray, n_bins: int = 24,
               max_h: float = 0.5, n_pairs: int = 200_000,
               seed: int = 0) -> dict:
     """Matern(nu=1) fit to the empirical correlation of random site pairs
-    (same estimator as synthesize_2b.fit_2a_covariance, for a single
-    spatial field)."""
-    from scipy.optimize import curve_fit
-    from scipy.special import kv
+    (st_dadk_tpu.utils.covariance.fit_matern1 — the SAME binning/fit as
+    synthesize_2b.fit_2a_covariance — on a single spatial field)."""
+    from st_dadk_tpu.utils.covariance import fit_matern1
 
     z = np.asarray(z, np.float64)
     mu, sd = float(z.mean()), float(z.std())
@@ -81,27 +80,8 @@ def fit_field(coords: np.ndarray, z: np.ndarray, n_bins: int = 24,
     ii, jj = ii[keep], jj[keep]
     h = np.linalg.norm(coords[ii] - coords[jj], axis=1)
     prod = zn[ii] * zn[jj]
-    sel = h < max_h
-    h, prod = h[sel], prod[sel]
-    bins = np.linspace(0, max_h, n_bins + 1)
-    which = np.digitize(h, bins) - 1
-    hc, rc = [], []
-    for b in range(n_bins):
-        m = which == b
-        if m.sum() > 50:
-            hc.append(h[m].mean())
-            rc.append(prod[m].mean())
-    hc, rc = np.asarray(hc), np.asarray(rc)
-
-    def matern1(hh, s2, a):
-        hh = np.maximum(hh, 1e-12) * np.sqrt(2.0) / a
-        return s2 * hh * kv(1, hh)
-
-    (s2, a), _ = curve_fit(matern1, hc, rc, p0=(0.9, 0.1),
-                           bounds=([0.05, 0.005], [1.5, 2.0]))
-    nugget = max(1.0 - float(s2), 0.0)
-    return dict(mean=mu, std=sd, sigma2=float(s2), range_=float(a),
-                nu=1.0, nugget=nugget)
+    s2, a, nugget = fit_matern1(h, prod, n_bins=n_bins, max_h=max_h)
+    return dict(mean=mu, std=sd, sigma2=s2, range_=a, nu=1.0, nugget=nugget)
 
 
 def matern_rff(params: dict, m: int, seed: int):

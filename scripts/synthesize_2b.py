@@ -63,30 +63,10 @@ def fit_2a_covariance(path_2a: Path, n_bins: int = 24, max_h: float = 0.5):
     ii, jj = ii[keep], jj[keep]
     h = np.linalg.norm(coords[ii] - coords[jj], axis=1)
     prod = np.mean(zn[:, ii] * zn[:, jj], axis=0)      # E[z_i z_j] per pair
-    sel = h < max_h
-    h, prod = h[sel], prod[sel]
-    bins = np.linspace(0, max_h, n_bins + 1)
-    which = np.digitize(h, bins) - 1
-    hc, rc = [], []
-    for b in range(n_bins):
-        m = which == b
-        if m.sum() > 50:
-            hc.append(h[m].mean())
-            rc.append(prod[m].mean())
-    hc, rc = np.asarray(hc), np.asarray(rc)
-
-    from scipy.optimize import curve_fit
-    from scipy.special import kv, gamma
-
-    def matern1(hh, s2, a):
-        hh = np.maximum(hh, 1e-12) * np.sqrt(2.0) / a   # nu = 1
-        return s2 * hh * kv(1, hh)
-
-    (s2, a), _ = curve_fit(matern1, hc, rc, p0=(0.9, 0.1),
-                           bounds=([0.05, 0.005], [1.5, 2.0]))
-    nugget = max(1.0 - float(s2), 0.0)
+    from st_dadk_tpu.utils.covariance import fit_matern1
+    s2, a, nugget = fit_matern1(h, prod, n_bins=n_bins, max_h=max_h)
     return dict(mean=float(mu), std=float(sd), phi_t=phi,
-                sigma2=float(s2), range_=float(a), nu=1.0, nugget=nugget)
+                sigma2=s2, range_=a, nu=1.0, nugget=nugget)
 
 
 def synthesize(sites: np.ndarray, T: int, params: dict, seed: int

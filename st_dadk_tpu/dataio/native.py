@@ -43,7 +43,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 lib.stdadk_free.argtypes = [ctypes.c_void_p]
                 _lib = lib
                 return _lib
-            except OSError:
+            except (OSError, AttributeError):
+                # AttributeError: a stale/incompatible .so missing the
+                # expected symbol must fall back to pandas like a missing
+                # library, not crash every load
                 break
     _load_failed = True
     return None

@@ -73,7 +73,9 @@ def _native_transport_lib():
             ctypes.c_int64, ctypes.c_int64,
         ]
         _NATIVE_LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: stale .so without the expected symbol — use the
+        # LP fallback like a missing library
         _NATIVE_LIB = None
     return _NATIVE_LIB
 

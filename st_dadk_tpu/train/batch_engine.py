@@ -461,7 +461,8 @@ def run_job_batches(
             if jobs is None:
                 return None
             return prep_ex.submit(_prepare_job_batch, jobs,
-                                  skip_existing=skip_existing)
+                                  skip_existing=skip_existing,
+                                  lane_width=lane_width)
 
         prep_fut = submit_next_prepare()
         fin_fut = None
@@ -484,6 +485,7 @@ def run_job_batches(
 def _prepare_job_batch(
     jobs: List,
     skip_existing: bool = False,
+    lane_width: Optional[int] = None,
 ) -> Optional[Dict[str, Any]]:
     """Pure-host batch preparation: per-lane setups (seed-exact masks),
     stacked lane data, LR tables, loop spec. No jax dispatch happens here, so
@@ -560,6 +562,14 @@ def _prepare_job_batch(
     n_dev = mesh.devices.size
     M = len(norm_todo)
     M_pad = M + ((-M) % n_dev)
+    if (lane_width is not None and M_pad < lane_width
+            and lane_width % n_dev == 0):
+        # tail batch of a width-split stream (same contract as the
+        # single-process pad below): pad to the stream's common width so the
+        # pod reuses the compiled program instead of compiling a ragged-M
+        # shape. Lane ownership is computed on the padded count, so this
+        # must happen HERE at prepare time.
+        M_pad = lane_width
     sl = process_lane_slice(M_pad, mesh, cfg.mesh_axis)
     owned_real = list(range(sl.start, min(sl.stop, M)))
     n_pad_local = (sl.stop - sl.start) - len(owned_real)
@@ -667,7 +677,8 @@ def _train_job_batch(
     """Setup + batched init + the chunked training loop. Returns the state
     `_finalize_job_batch` needs; result pulls happen there so a caller can
     overlap them with the next batch's training."""
-    prep = _prepare_job_batch(jobs, skip_existing=skip_existing)
+    prep = _prepare_job_batch(jobs, skip_existing=skip_existing,
+                              lane_width=lane_width)
     if prep is None:
         return []
     return _execute_job_batch(prep, verbose=verbose,
