@@ -103,7 +103,8 @@ def main():
                     default=[131072, 524288, 1048576])
     ap.add_argument("--ks", type=int, nargs="+", default=[256, 1024, 4096])
     ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--modes", nargs="+", default=["train", "infer"])
+    ap.add_argument("--modes", nargs="+", default=["train", "infer"],
+                    choices=["train", "infer"])
     ap.add_argument("--out", default=str(REPO / "results" /
                                          "large_n_crossover.json"))
     args = ap.parse_args()

@@ -59,22 +59,8 @@ def main():
     print(f"[profile_init] M={M} n={N} ks={KS} n_init={N_INIT} "
           f"on {jax.devices()[0].platform}", flush=True)
 
-    # seeding only, per resolution (n_init restarts vmapped like gmm does)
-    def seed_only(k):
-        @jax.jit
-        def run(keys_b, X_b):
-            def lane(key, X):
-                subs = jax.random.split(key, N_INIT)
-                return jax.vmap(lambda s: kmeans_plus_plus(s, X, k))(subs)
-            return jax.vmap(lane)(keys_b, X_b)
-        return run
-
-    for k in KS:
-        timed(f"kmeans++ seeding k={k} (x{N_INIT} restarts)",
-              seed_only(k), keys, X_b)
-
-    # scan-unroll sweep on the largest resolution (exact same draws; only
-    # the loop's dispatch granularity changes)
+    # (seeding-only timings below reuse seed_unroll at the default unroll=8
+    # — a separate factory without the unroll arg was an identical copy)
     def seed_unroll(k, u):
         @jax.jit
         def run(keys_b, X_b):
@@ -85,6 +71,13 @@ def main():
             return jax.vmap(lane)(keys_b, X_b)
         return run
 
+    # seeding only, per resolution (n_init restarts vmapped like gmm does)
+    for k in KS:
+        timed(f"kmeans++ seeding k={k} (x{N_INIT} restarts)",
+              seed_unroll(k, 8), keys, X_b)
+
+    # scan-unroll sweep on the largest resolution (exact same draws; only
+    # the loop's dispatch granularity changes)
     for u in (1, 4, 8, 16, 32):
         timed(f"kmeans++ k={KS[-1]} unroll={u}",
               seed_unroll(KS[-1], u), keys, X_b)

@@ -36,6 +36,7 @@ def regenerate(results_dir: Path):
     """Re-aggregate every config from its results.json files and rewrite the
     grid-level CSVs (ref :169-346)."""
     all_results = []
+    loaded = []
     for cdir in discover_config_dirs(results_dir):
         with open(cdir / "config.yaml") as f:
             config = yaml.safe_load(f)
@@ -44,8 +45,17 @@ def regenerate(results_dir: Path):
         summary = None
         if results:
             summary = aggregate_results(results, cdir / "summary")
+        loaded.append((config, summary))
+    # backfill ids for config dirs lacking one (e.g. a table-4.4 or hand-
+    # added dir mixed into the tree) ABOVE the real ids: len+1 could collide
+    # with an existing config_id, and save_experiment_results keys its
+    # configs_dict/detail rows by id, so a collision silently overwrites
+    # one config's rows with the other's
+    next_id = max((c.get("config_id", 0) for c, _ in loaded), default=0) + 1
+    for config, summary in loaded:
         if "config_id" not in config:
-            config["config_id"] = len(all_results) + 1
+            config["config_id"] = next_id
+            next_id += 1
         all_results.append({"config": config, "summary": summary,
                             "status": "success" if summary else "empty"})
     if all_results:

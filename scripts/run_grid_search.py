@@ -74,8 +74,9 @@ def main():
     param_grid = json.loads(args.param_grid) if args.param_grid else PARAM_GRID
 
     if args.output_dir is None:
+        from st_dadk_tpu.parallel.multihost import shared_timestamp
         args.output_dir = (f"results/"
-                           f"{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+                           f"{shared_timestamp().strftime('%Y%m%d_%H%M%S')}"
                            f"_grid_search")
     output_dir = Path(args.output_dir)
 

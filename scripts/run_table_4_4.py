@@ -48,7 +48,10 @@ MODELS = [
 
 def create_table_4_4_configs(base_config_path, da_stdk_init_method=None,
                              non_crossing_lambda=None, data_file=None,
-                             delta_penalty_mode="eq310"):
+                             delta_penalty_mode="abs"):
+    # default 'abs' (the sign-corrected penalty) matches the CLI default:
+    # 'eq310' is the QUARANTINED reference-bug mode and must be opted into
+    # explicitly (see the [WARNING]/QUARANTINE_eq310.txt machinery in main)
     base = ExperimentConfig.from_yaml(base_config_path).to_dict()
     base["regression_type"] = "multi-quantile"
     base["quantile_levels"] = [0.05, 0.25, 0.5, 0.75, 0.95]
@@ -112,8 +115,10 @@ def main():
     parser.add_argument("--skip-existing", action="store_true")
     args = parser.parse_args()
 
+    from st_dadk_tpu.parallel.multihost import shared_timestamp
     out = Path(args.output_dir or
-               f"results/{datetime.now().strftime('%Y%m%d_%H%M%S')}_table_4_4")
+               f"results/{shared_timestamp().strftime('%Y%m%d_%H%M%S')}"
+               f"_table_4_4")
     out.mkdir(parents=True, exist_ok=True)
 
     if args.delta_penalty_mode == "eq310":

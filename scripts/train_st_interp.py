@@ -61,7 +61,8 @@ def main():
 
     engine = args.engine or ("vmap" if args.parallel else "sequential")
 
-    now = datetime.now()
+    from st_dadk_tpu.parallel.multihost import shared_timestamp
+    now = shared_timestamp()   # pod-safe: identical stamp on every process
     if args.output_dir:
         base_output_dir = Path(args.output_dir)
     else:

@@ -43,7 +43,3 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_lanes(tree, mesh: Mesh, axis: str = "exp"):
-    """device_put a stacked pytree with its leading axis sharded over `axis`."""
-    s = lane_sharding(mesh, axis)
-    return jax.device_put(tree, s)

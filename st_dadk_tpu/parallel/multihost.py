@@ -233,6 +233,23 @@ def is_primary() -> bool:
     return process_info()[1] == 0
 
 
+def shared_timestamp():
+    """A datetime identical on EVERY process (epoch seconds broadcast from
+    the primary). Default output directories derive from this instead of a
+    per-process datetime.now(): two hosts crossing a second boundary would
+    otherwise write their owned lanes into different trees, and the
+    primary's aggregation re-scan would silently drop the other host's
+    experiments. Single-process: plain now()."""
+    import datetime
+    import time as _time
+    ts = _time.time()
+    if process_info()[0] > 1:
+        from jax.experimental import multihost_utils
+        ts = float(np.asarray(multihost_utils.broadcast_one_to_all(
+            np.asarray(ts, np.float64))))
+    return datetime.datetime.fromtimestamp(ts)
+
+
 def sync_processes(name: str = "st_dadk_barrier") -> None:
     """Cross-process barrier (no-op single-process).
 
@@ -289,7 +306,7 @@ def fetch_lane_tree(tree, sl: slice):
 def shard_lanes_multihost(tree, mesh: Mesh, axis: str = "exp"):
     """Place a GLOBALLY-shaped stacked pytree, lane axis sharded over `axis`.
 
-    Single-process: plain device_put (exactly parallel.mesh.shard_lanes).
+    Single-process: plain device_put with the lane sharding.
     Multi-process: each process slices out its own lane block
     (`process_lane_slice` rows) and the global jax.Array is assembled with
     `jax.make_array_from_process_local_data` — only the local lanes' bytes

@@ -27,12 +27,14 @@ def apply_platform_env() -> None:
     if not plats:
         return
     import jax
-    try:
-        jax.config.update("jax_platforms", plats)
-    except RuntimeError:
-        # backends already initialized; if they match, fine — otherwise the
-        # caller set the env var too late to honor
-        backend = jax.default_backend()
-        if plats.split(",")[0] != backend:
-            print(f"[WARNING] JAX_PLATFORMS={plats} requested but the "
-                  f"{backend!r} backend is already initialized")
+    jax.config.update("jax_platforms", plats)
+    # jax's jax_platforms config has NO backend-initialized validator (the
+    # update silently succeeds even after a sitecustomize initialized the
+    # tunnel backend), so verify the LIVE backend instead of relying on an
+    # exception. default_backend() initializes backends if needed — which is
+    # exactly the semantics we want: from here on the selection is fixed.
+    backend = jax.default_backend()
+    if plats.split(",")[0] != backend:
+        print(f"[WARNING] JAX_PLATFORMS={plats} requested but the "
+              f"{backend!r} backend is already initialized — ops will "
+              f"dispatch to {backend!r}")

@@ -95,9 +95,6 @@ else:
     assert jax.default_backend() == "tpu", \
         "ST_DADK_TEST_TPU=1 but no TPU backend available"
 
-import pytest  # noqa: E402
-
-
 @pytest.fixture(scope="session")
 def ref_data_root():
     """Path to the KAUST datasets; tests that need real data skip if absent."""
@@ -105,5 +102,5 @@ def ref_data_root():
     for root in (Path(__file__).resolve().parent.parent / "data",
                  Path("/root/reference/data")):
         if (root / "2a").exists():
-            return root.parent if root.name != "data" else root
+            return root
     pytest.skip("KAUST data not available")
