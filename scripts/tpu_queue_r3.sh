@@ -37,6 +37,13 @@ step ab_subsample python scripts/ab_paired.py \
 step ab_seed_rounds python scripts/ab_paired.py \
   --b init_seed_rounds=8 --out results/ab_seed_rounds_r3
 
+# 5c. epoch-scan unroll sweep (bit-exact math — the signal is each arm's
+# wall_seconds; ROADMAP: per-step scan dispatch ~0.4 ms is the current floor)
+step ab_unroll2 python scripts/ab_paired.py \
+  --b scan_unroll=2 --out results/ab_unroll2_r3
+step ab_unroll4 python scripts/ab_paired.py \
+  --b scan_unroll=4 --out results/ab_unroll4_r3
+
 # 6. current-code bench (5x90 s protocol)
 step bench python bench.py
 
