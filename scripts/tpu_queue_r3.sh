@@ -37,8 +37,10 @@ step ab_subsample python scripts/ab_paired.py \
 step ab_seed_rounds python scripts/ab_paired.py \
   --b init_seed_rounds=8 --out results/ab_seed_rounds_r3
 
-# 5c. epoch-scan unroll sweep (bit-exact math — the signal is each arm's
-# wall_seconds; ROADMAP: per-step scan dispatch ~0.4 ms is the current floor)
+# 5c. epoch-scan unroll sweep (float-equivalent, NOT bit-exact: XLA
+# reorders accumulation across unrolled iterations — CPU check shows
+# ~1e-8-level loss drift. Signal = arm wall_seconds + the paired CRPS
+# delta; ROADMAP: per-step scan dispatch ~0.4 ms is the current floor)
 step ab_unroll2 python scripts/ab_paired.py \
   --b scan_unroll=2 --out results/ab_unroll2_r3
 step ab_unroll4 python scripts/ab_paired.py \
