@@ -40,18 +40,24 @@ import jax  # noqa: E402
 # `make test` still run everything.
 # ---------------------------------------------------------------------------
 _SLOW_PREFIXES = (
+    # BOTH consumers of the module-scoped grid_results fixture must be slow,
+    # or the fast lane still pays the real grid search through the survivor.
     "test_analysis.py::test_analyze_grid_search",
+    "test_analysis.py::test_resume_summarize_only",
     "test_batch_engine.py::TestBatchEngine",
     "test_batch_engine.py::TestMultiQuantileBatch",
     "test_batch_engine.py::TestPerTauVmapEngine",
     "test_batch_engine.py::TestTailCompaction",
     "test_batch_engine.py::TestUnequalLaneCapacity",
     "test_checkpoint.py::test_resume_bitwise_equals_uninterrupted",
+    "test_checkpoint.py::test_orbax_backend_resume_bitwise",
+    "test_checkpoint.py::test_session_budget_not_a_chunk_multiple",
     "test_data_parallel.py::TestDataParallelFit",
     "test_data_parallel.py::TestHybridExpDataMesh",
     "test_forecaster.py::TestForecasterTraining",
     "test_init_centers.py::TestCrossEngineInitEquality",
     "test_init_centers.py::TestKActiveMasking",
+    "test_kmeans_exact.py::TestAuctionExactness",
     "test_multihost_finalize.py::TestGatedFinalize",
     "test_multiprocess_cluster.py::",
     "test_pallas_basis.py::test_forward_parity",

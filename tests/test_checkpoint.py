@@ -80,7 +80,7 @@ def test_session_budget_not_a_chunk_multiple(tmp_path):
                           full.history["train_loss"])
 
 
-def test_session_budget_zero_returns_initial_state(tmp_path):
+def test_session_budget_zero_returns_initial_state():
     cfg = _cfg(8)
     train_ps, valid_ps = _synthetic(128, 0), _synthetic(32, 1)
     spec = spec_from_config(cfg)
@@ -89,6 +89,13 @@ def test_session_budget_zero_returns_initial_state(tmp_path):
             epochs_chunk=4, session_epochs=0)
     assert r.n_epochs_run == 0
     assert len(r.history["train_loss"]) == 0
+    # zero epochs run => returned params (best EMA) ARE the initial params,
+    # bitwise — catches accidental re-init / mutation on the 0-epoch path
+    flat_in, _ = jax.tree_util.tree_flatten(params)
+    flat_out, _ = jax.tree_util.tree_flatten(r.params)
+    assert len(flat_in) == len(flat_out)
+    for a, b in zip(flat_in, flat_out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_resume_skips_when_finished(tmp_path):

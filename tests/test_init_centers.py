@@ -244,13 +244,27 @@ class TestInitCostKnobs:
     cross-engine (sequential vs batched) equality contract when both
     engines get the same knob values."""
 
-    def test_n_init_1_valid_and_differs(self):
+    def test_n_init_1_valid_and_differs(self, monkeypatch):
+        import st_dadk_tpu.ops.init_centers as ic
         X = _two_clusters(600, 1)
+        # Record the n_init each call actually receives: the similarity
+        # assertion below would also pass if the knob were silently
+        # dropped, so forwarding must be asserted directly.
+        seen = []
+        real = ic.gmm_spherical
+
+        def recording(key, X, k, **kw):
+            seen.append(kw.get("n_init"))
+            return real(key, X, k, **kw)
+
+        monkeypatch.setattr(ic, "gmm_spherical", recording)
         c3, b3 = init_spatial_centers("gmm", [9], X,
                                       key=jax.random.PRNGKey(5))
+        assert seen == [3]
         c1, b1 = init_spatial_centers("gmm", [9], X,
                                       key=jax.random.PRNGKey(5),
                                       gmm_n_init=1)
+        assert seen == [3, 1]
         assert c1.shape == (9, 2) and np.all(np.isfinite(c1))
         assert np.all(b1 > 0)
         # n_init=1 keeps the FIRST restart instead of the best of 3; on a

@@ -55,7 +55,12 @@ class TestAuctionExactness:
                       b_eq=np.concatenate([np.ones(n), caps]),
                       bounds=(0, None), method="highs")
         assert res.status == 0
-        # integer-scaled costs quantize at 1e-7; allow that much slack
+        # Feasibility first: without this, an unconstrained argmin (cost
+        # <= LP optimum) would pass the one-sided bound below.
+        assert np.array_equal(np.bincount(col, minlength=k), caps)
+        # Any cap-feasible assignment costs >= the LP optimum, so with
+        # feasibility asserted this one-sided bound IS the optimality
+        # check. Integer-scaled costs quantize at 1e-7; allow that slack.
         assert my <= res.fun + n * 1e-7, (my, res.fun)
 
 

@@ -102,6 +102,10 @@ class TestHybridGrid:
 
 
 class TestSingleHostDegradation:
+    @pytest.mark.skipif(len(jax.devices()) != 8,
+                        reason="hybrid_mesh({'exp':4,'data':2}) needs "
+                               "exactly 8 devices (single tunneled TPU "
+                               "chip has 1)")
     def test_hybrid_mesh_runs_pjit(self):
         mesh = hybrid_mesh({"exp": 4, "data": 2})
         assert mesh.shape == {"exp": 4, "data": 2}

@@ -29,8 +29,18 @@ import subprocess
 import sys
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
+
+# Workers hard-set JAX_PLATFORMS=cpu, so the in-process parity runs (vmap
+# engine + the DP fit at the bottom) must also be CPU — on the TPU lane the
+# backend/precision mismatch blows the rtol=1e-4 bounds. The DP comparison
+# additionally needs this process to hold an 8-device mesh.
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) != 8 or jax.devices()[0].platform != "cpu",
+    reason="needs the virtual 8-device CPU mesh (cluster workers force "
+           "CPU; single tunneled TPU chip can't mirror them)")
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -84,8 +94,17 @@ def test_two_process_cluster_runs_gated_engine(toy_csv, tmp_path):
             out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
-        for p in procs:
+        # outs holds only the procs whose communicate() finished; kill the
+        # rest, then drain their buffered output so the failure report
+        # actually shows what the hung workers printed.
+        for p in procs[len(outs):]:
             p.kill()
+        for p in procs[len(outs):]:
+            try:
+                out, _ = p.communicate(timeout=30)
+            except Exception:
+                out = "<output unrecoverable>"
+            outs.append(f"--- killed worker {len(outs)} ---\n{out or ''}")
         pytest.fail("cluster workers timed out\n" + "\n".join(outs))
     dp_vals = []
     for pid, (p, out) in enumerate(zip(procs, outs)):

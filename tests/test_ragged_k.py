@@ -211,7 +211,6 @@ class TestRaggedGridSearch:
         captured = capsys.readouterr().out
         # both configs must run as ONE bucket (4 lanes), not two
         assert "[bucket 1/1] 2 configs" in captured
-        df = None
         import pandas as pd
         df = pd.read_csv(out / "grid_search_summary.csv")
         assert len(df) == 2

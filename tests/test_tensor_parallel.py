@@ -22,6 +22,20 @@ def _inputs(n=64, seed=0):
             jnp.asarray(rng.uniform(size=(n, 1)), jnp.float32))
 
 
+def _synth_pointset(n, seed, noise=0.0):
+    """Shared synthetic field for the TP-vs-fit parity tests — one
+    definition so the three parity tests can't silently diverge."""
+    from st_dadk_tpu.dataio.arrays import PointSet
+    r = np.random.default_rng(seed)
+    coords = r.uniform(size=(n, 2)).astype(np.float32)
+    t = r.uniform(size=(n, 1)).astype(np.float32)
+    y = np.sin(3 * coords[:, :1]) + 0.5 * t
+    if noise:
+        y = y + r.normal(0, noise, (n, 1))
+    return PointSet(coords=coords, t=t, y=y.astype(np.float32),
+                    w=np.ones(n, np.float32), n_real=n)
+
+
 @pytest.mark.parametrize("learnable,delta", [(False, False), (True, False),
                                              (True, True)])
 def test_tp_matches_unsharded(learnable, delta):
@@ -123,21 +137,12 @@ class TestTPTrainStep:
         identical seeds/batches it must track the unsharded fit() and keep
         pad rows inert (k=106 on 4 devices -> 2 pads)."""
         from st_dadk_tpu.config import ExperimentConfig
-        from st_dadk_tpu.dataio.arrays import PointSet
         from st_dadk_tpu.models.st_interp import (forward, init_model,
                                                   spec_from_config)
         from st_dadk_tpu.parallel.tensor_parallel import fit_tp
         from st_dadk_tpu.train.loop import fit
 
-        rng = np.random.default_rng(0)
-
-        def synth(n, seed):
-            r = np.random.default_rng(seed)
-            coords = r.uniform(size=(n, 2)).astype(np.float32)
-            t = r.uniform(size=(n, 1)).astype(np.float32)
-            y = (np.sin(3 * coords[:, :1]) + 0.5 * t).astype(np.float32)
-            return PointSet(coords=coords, t=t, y=y,
-                            w=np.ones(n, np.float32), n_real=n)
+        synth = _synth_pointset
 
         cfg = ExperimentConfig.from_dict(dict(
             k_spatial_centers=[25, 81], k_temporal_centers=[5],
@@ -182,19 +187,12 @@ class TestTPTrainStep:
         """regression_type='quantile' must train the CHECK loss on the TP
         path too (regression: it silently fell back to MSE)."""
         from st_dadk_tpu.config import ExperimentConfig
-        from st_dadk_tpu.dataio.arrays import PointSet
         from st_dadk_tpu.models.st_interp import init_model, spec_from_config
         from st_dadk_tpu.parallel.tensor_parallel import fit_tp
         from st_dadk_tpu.train.loop import fit
 
         def synth(n, seed):
-            r = np.random.default_rng(seed)
-            coords = r.uniform(size=(n, 2)).astype(np.float32)
-            t = r.uniform(size=(n, 1)).astype(np.float32)
-            y = (np.sin(3 * coords[:, :1]) + 0.5 * t
-                 + r.normal(0, 0.1, (n, 1))).astype(np.float32)
-            return PointSet(coords=coords, t=t, y=y,
-                            w=np.ones(n, np.float32), n_real=n)
+            return _synth_pointset(n, seed, noise=0.1)
 
         cfg = ExperimentConfig.from_dict(dict(
             k_spatial_centers=[25], k_temporal_centers=[5],
@@ -236,18 +234,11 @@ class TestTPTrainStep:
         the TP layout must track the replicated fit() (regression: sparsity/
         movement/non-crossing used to be silently DROPPED on this path)."""
         from st_dadk_tpu.config import ExperimentConfig
-        from st_dadk_tpu.dataio.arrays import PointSet
         from st_dadk_tpu.models.st_interp import init_model, spec_from_config
         from st_dadk_tpu.parallel.tensor_parallel import fit_tp
         from st_dadk_tpu.train.loop import fit
 
-        def synth(n, seed):
-            r = np.random.default_rng(seed)
-            coords = r.uniform(size=(n, 2)).astype(np.float32)
-            t = r.uniform(size=(n, 1)).astype(np.float32)
-            y = (np.sin(3 * coords[:, :1]) + 0.5 * t).astype(np.float32)
-            return PointSet(coords=coords, t=t, y=y,
-                            w=np.ones(n, np.float32), n_real=n)
+        synth = _synth_pointset
 
         cfg = ExperimentConfig.from_dict(dict(
             k_spatial_centers=[25], k_temporal_centers=[5],
