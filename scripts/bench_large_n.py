@@ -28,7 +28,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from st_dadk_tpu.utils.platform import apply_platform_env  # noqa: E402
+from st_dadk_tpu.utils.platform import (apply_platform_env,  # noqa: E402
+                                        device_barrier)
 apply_platform_env()
 
 import jax  # noqa: E402
@@ -44,12 +45,16 @@ from st_dadk_tpu.train.loop import LoopSpec, training_loss  # noqa: E402
 
 
 def time_call(fn, *args, reps=10, warmup=2):
+    # device_barrier, not block_until_ready: the latter is not a barrier on
+    # the tunnel backend (utils/platform.py). One barrier after the rep loop
+    # keeps the per-rep overhead at zero; the single end-of-loop roundtrip
+    # amortizes to <0.1 ms/rep.
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        device_barrier(fn(*args))
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_barrier(out)
     return (time.time() - t0) / reps * 1000.0   # ms
 
 

@@ -19,7 +19,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-from st_dadk_tpu.utils.platform import apply_platform_env  # noqa: E402
+from st_dadk_tpu.utils.platform import (apply_platform_env,  # noqa: E402
+                                        device_barrier)
 apply_platform_env()
 
 import jax  # noqa: E402
@@ -39,12 +40,12 @@ REPS = 5
 
 def timed(label, fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    device_barrier(out)
     ts = []
     for _ in range(REPS):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        device_barrier(out)
         ts.append(time.time() - t0)
     print(f"  {label:<46} {min(ts)*1000:9.1f} ms (min of {REPS})",
           flush=True)

@@ -17,6 +17,30 @@ from __future__ import annotations
 import os
 
 
+def device_barrier(tree) -> None:
+    """Wait until every device computation producing `tree` has finished.
+
+    `jax.block_until_ready` is NOT a reliable barrier on the experimental
+    TPU-tunnel backend ('axon'): measured 2026-08-18, it returns in ~0.1 ms
+    for a 4096^3 matmul whose value-fetch takes ~29 ms — i.e. it only waits
+    for local dispatch, not remote execution. The tunnel's bounded in-flight
+    queue gives looped timings approximate backpressure-correctness, but
+    single-shot `block_until_ready` timings read ~0 (scripts/profile_init.py
+    produced 0.0-ms GMM timings that way).
+
+    A one-element host fetch of every output leaf is a true barrier on all
+    backends: the transfer cannot complete before the producing program
+    does. Cost is one tiny RPC per leaf — negligible against the >=1 ms
+    intervals profiling cares about. Use this instead of block_until_ready
+    in every timing/profiling path."""
+    import jax
+    import numpy as np
+    jax.block_until_ready(tree)  # cheap, and sufficient on cpu/direct-tpu
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def apply_platform_env() -> None:
     """Force the live jax config to match the JAX_PLATFORMS env var.
 

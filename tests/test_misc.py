@@ -89,3 +89,22 @@ class TestLegacyBasis:
         phi = legacy_basis.embed(jnp.asarray([[0.5, 0.5]], jnp.float32))
         assert phi.shape == (1, 227)
         assert float(phi.max()) <= 1.0 + 1e-6
+
+
+class TestDeviceBarrier:
+    def test_waits_and_handles_pytrees(self):
+        # block_until_ready is not a barrier on the tunnel backend
+        # (utils/platform.py docstring); device_barrier must at minimum be
+        # a correct no-op-plus-wait on every backend and accept arbitrary
+        # pytrees, empty leaves, and non-array leaves.
+        import jax
+        from st_dadk_tpu.utils.platform import device_barrier
+
+        tree = {"a": jnp.ones((4, 4)), "b": (jnp.zeros((0,)), None),
+                "c": [jnp.arange(3), 1.5]}
+        out = jax.jit(lambda t: jax.tree_util.tree_map(
+            lambda x: x * 2 if hasattr(x, "dtype") else x, t))(tree)
+        device_barrier(out)  # must not raise
+        assert float(out["a"][0, 0]) == 2.0
+        device_barrier(None)
+        device_barrier(3)
