@@ -21,7 +21,9 @@ float, `train_dtype=bf16` a string).
 from __future__ import annotations
 
 import argparse
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -90,10 +92,31 @@ def main():
             d["data_file"] = args.data_file
         cdir = out / arm
         cdir.mkdir(parents=True, exist_ok=True)
-        t0 = time.time()
+        wall_cold = None
         if arm in args.arms:
             print(f"\n=== arm {arm}: {arm_over[arm] or 'baseline'} "
                   f"({args.n_experiments} seeds) ===", flush=True)
+            # WARMUP: compile/load every program this arm's config needs
+            # (fit chunk, init, eval, finalize) in a throwaway run before
+            # the timed one. Without this, whichever arm runs first in the
+            # process absorbs 60-90 s of compile/tunnel warmup and every
+            # wall comparison is an ordering artifact (observed in the
+            # first r3 queue run: all seven arm-b walls "beat" arm a 3-6x,
+            # including scan_unroll=2 which cannot be a real 6x).
+            warm = Path(tempfile.mkdtemp(prefix=f"ab_warm_{arm}_"))
+            t0 = time.time()
+            try:
+                run_multiple_experiments(
+                    ExperimentConfig.from_dict(
+                        {**d, "base_seed": d.get("base_seed", 2025) + 777000}),
+                    warm, engine="vmap")
+            finally:
+                shutil.rmtree(warm, ignore_errors=True)
+            wall_cold = round(time.time() - t0, 1)
+            print(f"  arm {arm}: warmup (cold, incl. compile) "
+                  f"{wall_cold:.1f}s", flush=True)
+        t0 = time.time()
+        if arm in args.arms:
             run_multiple_experiments(ExperimentConfig.from_dict(d), cdir,
                                      engine="vmap")
         results = load_all_results(cdir / "experiments", args.n_experiments)
@@ -112,6 +135,7 @@ def main():
             "test_rmse_mean": float(np.mean(list(rmse.values()))),
             "wall_seconds": (round(time.time() - t0, 1)
                              if arm in args.arms else None),
+            "wall_seconds_cold": wall_cold,
         }
         e = table[arm]
         print(f"  arm {arm}: CRPS {e['test_crps_mean']:.4f} ± "

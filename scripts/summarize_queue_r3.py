@@ -46,7 +46,7 @@ def _fmt(v, nd=5):
 def ab_table() -> list[str]:
     lines = ["## Paired A/B arms (bench workload, 16 paired seeds)", "",
              "| arm | CRPS delta (b-a) | sigma | RMSE delta | wall a (s) "
-             "| wall b (s) | verdict |",
+             "| wall b (s) | verdict |",  # walls = warm steady-state runs
              "|---|---|---|---|---|---|---|"]
     for dirname, label in AB_ARMS:
         f = REPO / "results" / dirname / "ab_summary.json"
@@ -61,9 +61,18 @@ def ab_table() -> list[str]:
         wa, wb = a.get("wall_seconds"), b.get("wall_seconds")
         neutral = p["crps_delta_sigma"] < 2.0
         faster = (wa is not None and wb is not None and wb < 0.97 * wa)
-        verdict = ("ADOPTABLE (neutral + faster)" if neutral and faster
-                   else "neutral, not faster" if neutral
-                   else "NOT neutral")
+        # walls are only comparable when both arms were warmed up first
+        # (wall_seconds_cold recorded): without a warmup pass, whichever
+        # arm ran first absorbs the process's compile cost and the
+        # comparison is an ordering artifact, not a speed signal.
+        warmed = (a.get("wall_seconds_cold") is not None
+                  and b.get("wall_seconds_cold") is not None)
+        verdict = (("ADOPTABLE (neutral + faster)" if neutral and faster
+                    else "neutral, not faster" if neutral
+                    else "NOT neutral")
+                   if warmed else
+                   ("CRPS-neutral; walls unwarmed (rerun)" if neutral
+                    else "NOT neutral; walls unwarmed"))
         lines.append(
             f"| `{label}` | {_fmt(p['crps_delta_mean'])} ± "
             f"{p['crps_delta_std']:.5f} | {p['crps_delta_sigma']:.2f} "
@@ -104,7 +113,11 @@ def bench_table() -> list[str]:
 
 
 def profile_section() -> list[str]:
-    log = REPO / "results" / "tpu_queue_r3" / "profile_init.log"
+    # prefer the r3b re-run: the r3 log predates the device_barrier fix
+    # and its on-device timings read 0.0 ms (utils/platform.py)
+    log = REPO / "results" / "tpu_queue_r3b" / "profile_init.log"
+    if not log.exists():
+        log = REPO / "results" / "tpu_queue_r3" / "profile_init.log"
     lines = ["", "## Init profile (seeding vs EM split)", ""]
     if not log.exists():
         lines.append("pending")
