@@ -27,6 +27,7 @@ AB_ARMS = [
     ("ab_seed_rounds_r3", "init_seed_rounds=8"),
     ("ab_unroll2_r3", "scan_unroll=2"),
     ("ab_unroll4_r3", "scan_unroll=4"),
+    ("ab_stack_r3", "combined stack (all neutral knobs)"),
 ]
 
 BENCH_DETAILS = [

@@ -40,4 +40,11 @@ step ab_unroll2 python scripts/ab_paired.py \
 step ab_unroll4 python scripts/ab_paired.py \
   --b scan_unroll=4 --out results/ab_unroll4_r3
 
+# combined stack: every CRPS-neutral knob at once (interaction check —
+# adopting defaults requires the STACK to stay neutral, not just each arm)
+step ab_stack python scripts/ab_paired.py \
+  --b init_em_dtype=bfloat16 train_dtype=bf16 init_gmm_n_init=1 \
+     init_subsample=4096 init_seed_rounds=8 scan_unroll=4 \
+  --out results/ab_stack_r3
+
 echo "=== queue r3b done $(date) ===" | tee -a "$LOGDIR/queue.log"
