@@ -72,7 +72,12 @@ def main() -> None:
 
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
-    base = bench_workload()
+    # ablation hook (same contract as profile_batch's
+    # ST_DADK_PROFILE_OVERRIDES): BENCH_OVERRIDES='{"scan_unroll": 4}'
+    # measures the workload with config overrides; the headline protocol
+    # is the bare default.
+    overrides = json.loads(os.environ.get("BENCH_OVERRIDES", "{}"))
+    base = bench_workload(**overrides)
 
     def jobs_for(seed: int, out: Path):
         cfg = ExperimentConfig.from_dict({**base, "base_seed": seed})

@@ -37,6 +37,10 @@ BENCH_DETAILS = [
      "bench_long_details.json"),
     ("M=32 auto-split", REPO / "results" / "tpu_queue_r3" /
      "bench_m32_split_details.json"),
+    ("stack M=16", REPO / "results" / "tpu_queue_r3b" /
+     "bench_stack_m16_details.json"),
+    ("stack M=32 native", REPO / "results" / "tpu_queue_r3b" /
+     "bench_stack_m32_details.json"),
 ]
 
 

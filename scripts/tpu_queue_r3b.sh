@@ -47,4 +47,19 @@ step ab_stack python scripts/ab_paired.py \
      init_subsample=4096 init_seed_rounds=8 scan_unroll=4 \
   --out results/ab_stack_r3
 
+# benches with the stacked knobs (adoption candidates): M=16 headline
+# shape and a NATIVE M=32 batch — with the init cost cut, the lane-width
+# sweet spot may move (VERDICT r2 item 1: "M=32 >= M=16")
+STACK='{"init_em_dtype":"bfloat16","train_dtype":"bf16","init_gmm_n_init":1,"init_subsample":4096,"init_seed_rounds":8,"scan_unroll":4}'
+step bench_stack_m16 env BENCH_OVERRIDES="$STACK" \
+  BENCH_DETAILS=results/tpu_queue_r3b/bench_stack_m16_details.json \
+  python bench.py 16
+step bench_stack_m32 env BENCH_OVERRIDES="$STACK" \
+  BENCH_DETAILS=results/tpu_queue_r3b/bench_stack_m32_details.json \
+  python bench.py 32
+
+# re-run the large-N crossover map with the true device barrier
+# (pre-fix absolute ms were backpressure approximations; ratios held)
+step bench_large_n python scripts/bench_large_n.py
+
 echo "=== queue r3b done $(date) ===" | tee -a "$LOGDIR/queue.log"
