@@ -25,6 +25,10 @@ step() {
 
 step profile_init python scripts/profile_init.py 16
 
+# stage profile under the true barrier: pre-fix, the scan/pull boundary
+# used block_until_ready, so scan time leaked into "history pull"
+step profile_batch python scripts/profile_batch.py 16
+
 step ab_em_dtype python scripts/ab_paired.py \
   --b init_em_dtype=bfloat16 --out results/ab_em_dtype_r3
 step ab_train_dtype python scripts/ab_paired.py \
