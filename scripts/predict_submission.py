@@ -91,7 +91,8 @@ def main():
     centers, bw = init_spatial_centers(cfg.spatial_init_method,
                                        cfg.k_spatial_centers, train_coords,
                                        key=jax.random.PRNGKey(args.seed))
-    spec = spec_from_config(cfg, use_pallas=jax.default_backend() == "tpu")
+    spec = spec_from_config(cfg)  # use_pallas follows the config default
+    # (OFF since round 3: XLA path ties/wins, results/dense_inference_r3.json)
     params, consts = init_model(jax.random.PRNGKey(args.seed), spec,
                                 centers, bw)
     t0 = time.time()

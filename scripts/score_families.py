@@ -95,7 +95,8 @@ def fit_and_predict(cfg: ExperimentConfig, seed: int,
     centers, bw = init_spatial_centers(cfg.spatial_init_method,
                                        cfg.k_spatial_centers, train_coords,
                                        key=jax.random.PRNGKey(seed))
-    spec = spec_from_config(cfg, use_pallas=jax.default_backend() == "tpu")
+    spec = spec_from_config(cfg)  # use_pallas follows the config default
+    # (OFF since round 3: XLA path ties/wins, results/dense_inference_r3.json)
     params, consts = init_model(jax.random.PRNGKey(seed), spec, centers, bw)
     res = fit(cfg, spec, params, consts, train_ps, valid_ps, seed=seed)
 

@@ -98,7 +98,13 @@ class ExperimentConfig:
 
     # -- TPU-framework extras (no reference equivalent) ---------------------------
     data_root: Optional[str] = None            # prefix for relative data_file paths
-    use_pallas: bool = True                    # Pallas fused kernel for dense inference on TPU
+    use_pallas: bool = False                   # opt-in Pallas fused kernel for dense inference.
+                                               # Default OFF since round 3: under the true
+                                               # device barrier it TIES the XLA-fused path at
+                                               # the reference shape (2.97 vs 2.96 ms / 131k
+                                               # pts, results/dense_inference_r3.json) and
+                                               # loses 11-32% at large (N, k)
+                                               # (results/large_n_crossover.json)
     use_pallas_training: bool = False          # opt-in Pallas basis embed in the TRAINING forward
                                                # (measured slower than XLA-fused jnp there; see ModelSpec)
     use_fused_training: bool = False           # opt-in fused basis->layer-1 TRAINING kernel (see ModelSpec)
