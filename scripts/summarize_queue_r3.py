@@ -72,7 +72,10 @@ def ab_table() -> list[str]:
         # comparison is an ordering artifact, not a speed signal.
         warmed = (a.get("wall_seconds_cold") is not None
                   and b.get("wall_seconds_cold") is not None)
-        verdict = (("ADOPTABLE (neutral + faster)" if neutral and faster
+        # single-sample walls are indicative only — the interleaved paired
+        # harness (section below) is the authoritative throughput signal
+        verdict = (("neutral; 1-sample wall faster (see interleaved)"
+                    if neutral and faster
                     else "neutral, not faster" if neutral
                     else "NOT neutral")
                    if warmed else
@@ -84,6 +87,41 @@ def ab_table() -> list[str]:
             f"| {_fmt(p['rmse_delta_mean'])} "
             f"| {wa if wa is not None else '--'} "
             f"| {wb if wb is not None else '--'} | {verdict} |")
+    return lines
+
+
+INTERLEAVED = [
+    ("ab_interleaved_stack_r3", "full stack (all 6 knobs)"),
+    ("ab_interleaved_unroll4_r3", "scan_unroll=4 alone"),
+    ("ab_interleaved_initpack_r3",
+     "init-pack (bf16 EM + n_init=1 + seed_rounds=8)"),
+]
+
+
+def interleaved_table() -> list[str]:
+    lines = ["", "## Interleaved paired throughput (authoritative walls)", "",
+             "Drift-controlled: a/b batches alternate in one warmed process "
+             "(`scripts/ab_interleaved.py`); pairwise wall ratios cancel the "
+             "tunnel's 22-32k fits/hr session drift that makes separate "
+             "runs (and the 1-sample arm walls above) incomparable.", "",
+             "| arm b vs bare workload | ratio b/a median (p10-p90) "
+             "| b faster | CRPS a / b |",
+             "|---|---|---|---|"]
+    for dirname, label in INTERLEAVED:
+        f = REPO / "results" / dirname / "interleaved_summary.json"
+        if not f.exists():
+            lines.append(f"| {label} | pending | | |")
+            continue
+        t = json.loads(f.read_text())
+        lo, hi = t["ratio_p10_p90"]
+        lines.append(
+            f"| {label} | {t['ratio_median']:.3f} ({lo:.2f}-{hi:.2f}) "
+            f"| {t['b_faster_count']}/{t['pairs']} "
+            f"| {t['crps_a_mean']:.4f} / {t['crps_b_mean']:.4f} |")
+    lines.append("")
+    lines.append("Adoption verdict: no default flips — the stack is slower "
+                 "paired; the init-pack's -4% is thin and protocol-"
+                 "divergent (docs/BENCHMARKS.md).")
     return lines
 
 
@@ -136,7 +174,8 @@ def profile_section() -> list[str]:
 
 
 def main() -> int:
-    out = ab_table() + bench_table() + profile_section()
+    out = (ab_table() + interleaved_table() + bench_table()
+           + profile_section())
     print("\n".join(out))
     return 0
 
