@@ -86,10 +86,27 @@ def main() -> None:
     tmp = Path(tempfile.mkdtemp(prefix="stdadk_bench_"))
     try:
         # warmup: compiles the whole-fit + init + eval programs
-        log(f"[bench] warmup batch (M={M}) — compiling...")
-        t0 = time.time()
-        run_job_batch(jobs_for(9999, tmp / "warm"), epochs_chunk=500)
-        log(f"[bench] warmup done in {time.time()-t0:.1f}s")
+        # warm at the WIDTH THE WINDOWS RUN: under BENCH_LANE_WIDTH the
+        # measured batches are lane_width-lane programs, so warming only
+        # the M-lane shape leaves window 0 paying the split program's
+        # compile/cache-load (13.3k vs 30k steady in the r3 M=32 split
+        # run). Then one more warm batch to flush tunnel spin-up residue.
+        if LANE_WIDTH and LANE_WIDTH < M:
+            # every distinct chunk width the split produces (incl. a
+            # ragged tail, e.g. M=24 w=16 -> widths {16, 8})
+            widths = sorted({len(c) for c in (
+                list(range(M))[i:i + LANE_WIDTH]
+                for i in range(0, M, LANE_WIDTH))}, reverse=True)
+        else:
+            widths = [M]
+        log(f"[bench] warmup batches (widths {widths}) — compiling...")
+        for wi, seed in enumerate((9999, 9998)):
+            for w in widths:
+                t0 = time.time()
+                warm_jobs = jobs_for(seed, tmp / f"warm{wi}_{w}")[:w]
+                run_job_batch(warm_jobs, epochs_chunk=500)
+                log(f"[bench] warmup batch {wi} (width {w}) "
+                    f"in {time.time()-t0:.1f}s")
 
         windows = []
         results = None
