@@ -77,6 +77,10 @@ def main() -> None:
     # measures the workload with config overrides; the headline protocol
     # is the bare default.
     overrides = json.loads(os.environ.get("BENCH_OVERRIDES", "{}"))
+    if overrides and DETAILS_PATH == REPO / "bench_details.json":
+        log("[bench] WARNING: BENCH_OVERRIDES set without a non-default "
+            "BENCH_DETAILS path — overwriting the headline evidence file "
+            "with an overridden-workload run")
     base = bench_workload(**overrides)
 
     def jobs_for(seed: int, out: Path):
@@ -142,7 +146,8 @@ def main() -> None:
             # incremental dump: if a later window stalls (tunnel hiccup),
             # the completed windows' evidence survives on disk
             with open(DETAILS_PATH, "w") as f:
-                json.dump({"M": M, "windows": windows, "partial": True},
+                json.dump({"M": M, "overrides": overrides,
+                           "windows": windows, "partial": True},
                           f, indent=2)
 
         rates = sorted(w["fits_per_hour"] for w in windows)
@@ -161,6 +166,7 @@ def main() -> None:
 
         details = {
             "M": M,
+            "overrides": overrides,
             "lane_width": LANE_WIDTH or M,
             "protocol": f"median of {N_WINDOWS} windows, each >= "
                         f"{MIN_WINDOW_SECONDS:.0f}s of whole pipelined batches",
