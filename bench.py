@@ -63,6 +63,71 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# ---- drift calibration (VERDICT r3 item 5) --------------------------------
+# Identical code measured 29.9k vs 25.1k fits/hr medians in sessions five
+# hours apart (commit 553677a), so cross-round deltas under ~15% are
+# environment, not code. Each window therefore runs a GOLDEN PROBE — two
+# pinned pure-jnp programs that never change across rounds:
+#   device arm: 1024-step scan of 2048^2 bf16 matmuls (one dispatch,
+#     ~17.6 TFLOP) — tracks raw MXU/HBM rate; measured invariant at
+#     0.119 s +/- 0.000 on this chip.
+#   dispatch arm: 100 tiny jit round-trips with a one-element fetch each —
+#     tracks the tunnel's dispatch+fetch latency, the component that
+#     actually drifts (measured 26-32 ms/trip within minutes).
+# The reference values below were pinned alongside the round-4 headline
+# run; the calibrated rate scales the raw median by the round-trip drift
+# with sensitivity 0.5 — per-batch profiling (docs/BENCHMARKS.md) splits a
+# 16-lane batch roughly half host-device chatter (init uploads, chunk
+# dispatches, serving pulls), half on-device compute, so rate sensitivity
+# to round-trip latency is ~0.5. Raw per-window probe values land in
+# bench_details.json so any better model can be applied post hoc.
+GOLDEN_REF = {"device_s": 0.119, "roundtrip_ms": 29.0}
+RT_SENSITIVITY = 0.5
+
+
+def _make_golden_probe():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def mxu(x):
+        def body(c, _):
+            return jnp.tanh(c @ c) + 0.001, ()
+        c, _ = jax.lax.scan(body, x, None, length=1024)
+        return c
+
+    @jax.jit
+    def tiny(x):
+        return x * 1.000001 + 0.000001
+
+    x_mxu = jnp.full((2048, 2048), 0.001, jnp.bfloat16)
+    x_tiny = jnp.ones((128,), jnp.float32)
+
+    def fetch1(a):  # true barrier on the tunnel backend
+        np.asarray(jax.device_get(a.ravel()[:1]))
+
+    fetch1(mxu(x_mxu))  # compile + warm both arms
+    fetch1(tiny(x_tiny))
+
+    def probe():
+        dev = []
+        for _ in range(3):
+            t0 = time.time()
+            fetch1(mxu(x_mxu))
+            dev.append(time.time() - t0)
+        t0 = time.time()
+        x = x_tiny
+        for _ in range(100):
+            x = tiny(x)
+            fetch1(x)
+        rt_ms = (time.time() - t0) * 10.0
+        return {"device_s": round(sorted(dev)[1], 4),
+                "roundtrip_ms": round(rt_ms, 2)}
+
+    return probe
+
+
 def main() -> None:
     import numpy as np
 
@@ -112,10 +177,13 @@ def main() -> None:
                 log(f"[bench] warmup batch {wi} (width {w}) "
                     f"in {time.time()-t0:.1f}s")
 
+        golden_probe = _make_golden_probe()
+
         windows = []
         results = None
         seed_base = 2025
         for wi in range(N_WINDOWS):
+            golden = golden_probe()
             t0 = time.time()
 
             def gen(wi=wi, t0=t0):
@@ -139,10 +207,11 @@ def main() -> None:
             fits = len(window_results)
             rate = fits / wall * 3600.0
             windows.append({"fits": fits, "wall_seconds": wall,
-                            "fits_per_hour": rate})
+                            "fits_per_hour": rate, "golden": golden})
             results = window_results
             log(f"[bench] window {wi}: {fits} fits in {wall:.1f}s "
-                f"-> {rate:.1f} fits/hr")
+                f"-> {rate:.1f} fits/hr (golden: mxu {golden['device_s']}s, "
+                f"rt {golden['roundtrip_ms']}ms)")
             # incremental dump: if a later window stalls (tunnel hiccup),
             # the completed windows' evidence survives on disk
             with open(DETAILS_PATH, "w") as f:
@@ -154,6 +223,22 @@ def main() -> None:
         fits_per_hour = rates[len(rates) // 2]          # median window
         spread_pct = ((rates[-1] - rates[0]) / fits_per_hour * 50.0
                       if fits_per_hour else 0.0)        # +/- half-range %
+
+        rt_vals = sorted(w["golden"]["roundtrip_ms"] for w in windows)
+        dev_vals = sorted(w["golden"]["device_s"] for w in windows)
+        rt_med = rt_vals[len(rt_vals) // 2]
+        dev_med = dev_vals[len(dev_vals) // 2]
+        rt_ratio = rt_med / GOLDEN_REF["roundtrip_ms"]
+        calibration = {
+            "golden_ref": GOLDEN_REF,
+            "roundtrip_ms_median": rt_med,
+            "device_s_median": dev_med,
+            "roundtrip_ratio_vs_ref": round(rt_ratio, 4),
+            "device_ratio_vs_ref": round(dev_med / GOLDEN_REF["device_s"], 4),
+            "rt_sensitivity": RT_SENSITIVITY,
+            "calibrated_fits_per_hour": round(
+                fits_per_hour * rt_ratio ** RT_SENSITIVITY, 2),
+        }
 
         crps = [r.get("test_crps") for r in results]
         rmse = [r.get("test_rmse") for r in results]
@@ -172,6 +257,7 @@ def main() -> None:
                         f"{MIN_WINDOW_SECONDS:.0f}s of whole pipelined batches",
             "windows": windows,
             "fits_per_hour": fits_per_hour,
+            "calibration": calibration,
             "window_spread_pct": round(spread_pct, 2),
             "test_crps_last_window": crps, "test_rmse_last_window": rmse,
             "baseline_1core_fits_per_hour": BASELINE_FITS_PER_HOUR_1CORE,
@@ -180,11 +266,18 @@ def main() -> None:
         with open(DETAILS_PATH, "w") as f:
             json.dump(details, f, indent=2)
 
+        log(f"[bench] calibration: roundtrip {rt_med:.1f}ms "
+            f"(ref {GOLDEN_REF['roundtrip_ms']}), ratio {rt_ratio:.3f} -> "
+            f"calibrated {calibration['calibrated_fits_per_hour']:.0f} "
+            f"fits/hr (raw {fits_per_hour:.0f})")
         print(json.dumps({
             "metric": "fits_per_hour",
             "value": round(fits_per_hour, 2),
             "unit": "fits/hour",
             "vs_baseline": round(fits_per_hour / BASELINE_JOBLIB10_PROXY, 2),
+            "calibrated_value": calibration["calibrated_fits_per_hour"],
+            "calibration_roundtrip_ratio": calibration[
+                "roundtrip_ratio_vs_ref"],
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
