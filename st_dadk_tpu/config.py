@@ -160,6 +160,10 @@ class ExperimentConfig:
     #   init_seed_rounds: R swaps exact sequential k-means++ seeding for the
     #                    R-round batched draw (kmeans_plus_plus_rounds) —
     #                    sequential depth k-1 -> R
+    #   init_gmm_fused:  true merges all basis resolutions' GMM EMs into ONE
+    #                    concat-k while_loop (gmm_spherical_multi: zero
+    #                    padding, per-resolution tol freeze; seeding stream
+    #                    identical, EM trajectories differ within tol)
     #   shuffle:         'perm' restores the sort-based epoch permutation
     extra: Dict[str, Any] = field(default_factory=dict)
 

@@ -314,6 +314,143 @@ def gmm_spherical(key: jax.Array, X: jax.Array, k: int,
     return means_all[best], sigmas_all[best]
 
 
+@partial(jax.jit, static_argnums=(2,),
+         static_argnames=("ks", "max_iter", "n_init", "em_dtype",
+                          "seed_rounds"))
+def gmm_spherical_multi(keys_res: jax.Array, X: jax.Array,
+                        ks: Tuple[int, ...],
+                        max_iter: int = 100, n_init: int = 3,
+                        reg_covar: float = 1e-6, tol: float = 1e-3,
+                        w: Optional[jax.Array] = None,
+                        em_dtype: Optional[str] = None,
+                        seed_rounds: Optional[int] = None):
+    """All `ks` resolutions of a spherical GMM as ONE fused EM loop.
+
+    The sequential multi-resolution program (`_batched_gmm_multi`) runs one
+    EM while_loop per resolution: total device iterations = sum over
+    resolutions, and every iteration pays the loop body's fixed kernel-launch
+    latency three times over. The k_active-PADDED merge (pad 25/81 -> 121 and
+    vmap) was measured slower because padding costs 1.6x HBM traffic
+    (docs/BENCHMARKS.md). This version merges along the COMPONENT axis
+    instead: the (n, 25+81+121) tensors are exactly the union of the three
+    programs' — zero padding — and all per-column work (d2, log-prob, exp,
+    resp.T @ X) fuses into one kernel stream. Only the normalization is
+    segment-structured (per-resolution slice max/sum, R tiny reductions).
+    Iterations run to the slowest resolution's convergence with converged
+    segments FROZEN at their own sklearn-style tol stop (param columns
+    where-gated), so each resolution's stopping rule is per-restart exact —
+    slightly CLOSER to sklearn's independent n_init fits than
+    `gmm_spherical`'s lockstep-restart loop, and measured metric-neutral
+    (scripts/ab_interleaved.py --b init_gmm_fused=true) before any default
+    flip.
+
+    `keys_res` is the (R,) stack of per-resolution keys (the caller's
+    `fold_in(key, i)` stream — seeding is bit-identical to the sequential
+    path: same subkeys, same `_seed_centers` draws per (resolution,
+    restart)). Returns a tuple of (means (k_r, 2), sigmas (k_r,)) pairs.
+    Same `w` / `em_dtype` / `seed_rounds` contracts as `gmm_spherical`.
+    """
+    n, d = X.shape
+    R = len(ks)
+    K = int(sum(ks))
+    offs = np.cumsum([0] + list(ks))
+    seg_id = jnp.asarray(np.repeat(np.arange(R), np.asarray(ks)))   # (K,)
+    k_col = jnp.asarray(np.repeat(np.asarray(ks, np.float32),
+                                  np.asarray(ks)))                  # (K,)
+    big = jnp.bfloat16 if em_dtype == "bfloat16" else jnp.float32
+    w_sum = None if w is None else jnp.maximum(jnp.sum(w), 1e-12)
+
+    def pairwise_d2(means):
+        # same explicit-difference form as gmm_spherical (no matmul-trick
+        # cancellation); only the stored (n, K) result takes em_dtype
+        diff = X[:, None, :] - means[None, :, :]
+        return jnp.sum(diff * diff, axis=-1).astype(big)
+
+    def seg_reduce(a, op):
+        # per-resolution column-block reduction: (n, K) -> (n, R). R static
+        # slices of one fused producer — XLA emits R small reduces, no
+        # gather/segment machinery.
+        return jnp.stack([op(a[:, offs[r]:offs[r + 1]]) for r in range(R)],
+                         axis=1)
+
+    def estep(d2, var, weights):
+        log_w = jnp.log(jnp.maximum(weights, 1e-30))
+        log_prob = (-0.5 * (d2.astype(jnp.float32) / var[None]
+                            + d * jnp.log(2 * jnp.pi * var)[None])
+                    + log_w[None])                               # (n, K)
+        m = seg_reduce(log_prob, lambda a: jnp.max(a, axis=1))   # (n, R)
+        p = jnp.exp(log_prob - jnp.take(m, seg_id, axis=1))
+        s = seg_reduce(p, lambda a: jnp.sum(a, axis=1))          # (n, R)
+        resp = p / jnp.take(s, seg_id, axis=1)
+        log_norm = m + jnp.log(s)                                # (n, R)
+        if w is not None:
+            resp = resp * w[:, None]
+            ll = jnp.sum(w[:, None] * log_norm, axis=0) / w_sum  # (R,)
+        else:
+            ll = jnp.mean(log_norm, axis=0)
+        return resp.astype(big), ll
+
+    def em_once(subkeys):
+        # subkeys (R,) — one seeding key per resolution, exactly the key
+        # gmm_spherical's em_once would receive for this restart
+        means0 = jnp.concatenate(
+            [_seed_centers(subkeys[r], X, ks[r], w=w,
+                           seed_rounds=seed_rounds) for r in range(R)], 0)
+        if w is None:
+            var0 = jnp.var(X) * jnp.ones((K,)) + reg_covar
+        else:
+            mu = jnp.sum(X * w[:, None], 0) / w_sum
+            var0 = (jnp.sum(w[:, None] * (X - mu) ** 2) / (w_sum * d)
+                    * jnp.ones((K,)) + reg_covar)
+        weights0 = 1.0 / k_col
+        done0 = jnp.zeros((R,), bool)
+
+        def cond(state):
+            *_, done, it = state
+            return jnp.logical_and(it < max_iter, ~jnp.all(done))
+
+        def body(state):
+            means, var, weights, d2, ll_prev, ll, done, it = state
+            resp, ll_cur = estep(d2, var, weights)
+            act_col = jnp.take(~done, seg_id)                    # (K,)
+            nk = resp.sum(axis=0, dtype=jnp.float32) + 1e-10
+            means_new = jnp.matmul(resp.T, X,
+                                   preferred_element_type=jnp.float32
+                                   ) / nk[:, None]
+            means_new = jnp.where(act_col[:, None], means_new, means)
+            d2_new = pairwise_d2(means_new)
+            var_new = ((resp * d2_new).sum(axis=0, dtype=jnp.float32)
+                       / (nk * d))
+            var_new = jnp.maximum(var_new, 0.0) + reg_covar
+            var_new = jnp.where(act_col, var_new, var)
+            weights_new = nk / (n if w is None else w_sum)
+            weights_new = jnp.where(act_col, weights_new, weights)
+            ll_prev_new = jnp.where(~done, ll, ll_prev)
+            ll_new = jnp.where(~done, ll_cur, ll)
+            done_new = jnp.logical_or(
+                done, jnp.logical_and(it >= 1,
+                                      jnp.abs(ll_new - ll_prev_new) < tol))
+            return (means_new, var_new, weights_new, d2_new,
+                    ll_prev_new, ll_new, done_new, it + 1)
+
+        init = (means0, var0, weights0, pairwise_d2(means0),
+                jnp.full((R,), -jnp.inf), jnp.full((R,), -jnp.inf),
+                done0, jnp.asarray(0, jnp.int32))
+        means, var, weights, d2, *_ = jax.lax.while_loop(cond, body, init)
+        _, ll_final = estep(d2, var, weights)
+        return means, jnp.sqrt(var), ll_final
+
+    # per-(resolution, restart) seeding keys: split each resolution's key
+    # into n_init restarts, exactly as gmm_spherical does
+    subkeys = jnp.stack([jax.random.split(keys_res[r], n_init)
+                         for r in range(R)], axis=1)    # (n_init, R, key)
+    means_all, sigmas_all, lls = jax.vmap(em_once)(subkeys)  # lls (ni, R)
+    best = jnp.argmax(lls, axis=0)                            # (R,)
+    return tuple((means_all[best[r], offs[r]:offs[r + 1]],
+                  sigmas_all[best[r], offs[r]:offs[r + 1]])
+                 for r in range(R))
+
+
 # ---------------------------------------------------------------------------
 # Balanced k-means (jittable, vmappable)
 # ---------------------------------------------------------------------------
@@ -460,7 +597,8 @@ _BATCH_FIT_CACHE = {}
 def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
                        em_dtype: Optional[str] = None,
                        n_init: Optional[int] = None,
-                       seed_rounds: Optional[int] = None):
+                       seed_rounds: Optional[int] = None,
+                       fused: bool = False):
     """All resolutions of a batched GMM init as ONE device program
     (per-resolution dispatches each pay a tunnel round trip).
 
@@ -471,8 +609,24 @@ def _batched_gmm_multi(ks: Tuple[int, ...], weighted: bool,
     25/81 up to 121 costs ~1.6x traffic, which beats the saved while_loop
     latency (1.05 s merged vs 0.64 s sequential per M=16 batch)."""
     ni = 3 if n_init is None else int(n_init)
-    key = ("gmm_multi", ks, weighted, em_dtype, ni, seed_rounds)
+    key = ("gmm_multi", ks, weighted, em_dtype, ni, seed_rounds, fused)
     fn = _BATCH_FIT_CACHE.get(key)
+    if fn is None and fused:
+        # one concat-k EM loop for all resolutions (gmm_spherical_multi);
+        # seeding keys per resolution match the sequential path's fold_in
+        def program(keys_b, X_b, w_b):
+            def per_lane(kk, X, ww):
+                kres = jnp.stack([jax.random.fold_in(kk, i)
+                                  for i in range(len(ks))])
+                return gmm_spherical_multi(kres, X, ks=ks, w=ww,
+                                           em_dtype=em_dtype, n_init=ni,
+                                           seed_rounds=seed_rounds)
+            if weighted:
+                return jax.vmap(per_lane)(keys_b, X_b, w_b)
+            return jax.vmap(lambda kk, X: per_lane(kk, X, None)
+                            )(keys_b, X_b)
+        fn = jax.jit(program)
+        _BATCH_FIT_CACHE[key] = fn
     if fn is None:
         def program(keys_b, X_b, w_b):
             out = []
@@ -556,6 +710,7 @@ def init_spatial_centers_batch(
     gmm_n_init: Optional[int] = None,
     subsample: Optional[int] = None,
     seed_rounds: Optional[int] = None,
+    gmm_fused: bool = False,
 ):
     """Data-adaptive initialization for a whole experiment batch at once.
 
@@ -650,7 +805,8 @@ def init_spatial_centers_batch(
         if method == "gmm":
             for k, (means_b, sig_b) in zip(
                     ks, _batched_gmm_multi(ks, w_b is not None, em_dtype,
-                                           gmm_n_init, seed_rounds
+                                           gmm_n_init, seed_rounds,
+                                           fused=gmm_fused
                                            )(keys, X_b, w_b)):
                 bw_min = 0.25 * uniform_bandwidth_for(k)
                 cparts.append(means_b)
@@ -673,7 +829,8 @@ def init_spatial_centers_batch(
                 jnp.concatenate(bparts, axis=1))
     if method == "gmm":
         results = _batched_gmm_multi(ks, w_b is not None, em_dtype,
-                                     gmm_n_init, seed_rounds)(keys, X_b, w_b)
+                                     gmm_n_init, seed_rounds,
+                                     fused=gmm_fused)(keys, X_b, w_b)
         for k, (means_b, sig_b) in zip(ks, results):
             means_np = np.asarray(means_b, np.float32)
             sig_np = np.asarray(sig_b)
@@ -710,6 +867,7 @@ def init_spatial_centers(
     gmm_n_init: Optional[int] = None,
     subsample: Optional[int] = None,
     seed_rounds: Optional[int] = None,
+    gmm_fused: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (centers (sum_k, 2), bandwidths (sum_k,)) for any init method.
 
@@ -732,10 +890,18 @@ def init_spatial_centers(
     if method == "gmm":
         X = jnp.asarray(_subsample(train_coords, subsample), jnp.float32)
         ni = 3 if gmm_n_init is None else int(gmm_n_init)
-        for i, k in enumerate(n_centers):
-            means, sigmas = gmm_spherical(jax.random.fold_in(key, i), X,
-                                          int(k), em_dtype=em_dtype,
-                                          n_init=ni, seed_rounds=seed_rounds)
+        if gmm_fused:
+            kres = jnp.stack([jax.random.fold_in(key, i)
+                              for i in range(len(n_centers))])
+            fits = gmm_spherical_multi(
+                kres, X, ks=tuple(int(k) for k in n_centers),
+                em_dtype=em_dtype, n_init=ni, seed_rounds=seed_rounds)
+        else:
+            fits = [gmm_spherical(jax.random.fold_in(key, i), X, int(k),
+                                  em_dtype=em_dtype, n_init=ni,
+                                  seed_rounds=seed_rounds)
+                    for i, k in enumerate(n_centers)]
+        for k, (means, sigmas) in zip(n_centers, fits):
             centers = np.asarray(means, np.float32)
             bw_raw = 4.23 * 2.5 * np.asarray(sigmas)
             bw_min = 0.25 * uniform_bandwidth_for(int(k))

@@ -1183,7 +1183,8 @@ def _init_lane_carries(cfg: ExperimentConfig, setups: List, keys,
             em_dtype=cfg.extra.get("init_em_dtype"),
             gmm_n_init=cfg.extra.get("init_gmm_n_init"),
             subsample=cfg.extra.get("init_subsample"),
-            seed_rounds=cfg.extra.get("init_seed_rounds"))
+            seed_rounds=cfg.extra.get("init_seed_rounds"),
+            gmm_fused=bool(cfg.extra.get("init_gmm_fused", False)))
         spec_real = dataclasses.replace(
             setups[idx[0]].spec, k_spatial_centers=tuple(klist))
         carry_g, consts_g = prepare_carry_batch(

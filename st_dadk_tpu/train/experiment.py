@@ -304,7 +304,8 @@ class ExperimentSetup:
                 em_dtype=cfg.extra.get("init_em_dtype"),
                 gmm_n_init=cfg.extra.get("init_gmm_n_init"),
                 subsample=cfg.extra.get("init_subsample"),
-                seed_rounds=cfg.extra.get("init_seed_rounds"))
+                seed_rounds=cfg.extra.get("init_seed_rounds"),
+                gmm_fused=bool(cfg.extra.get("init_gmm_fused", False)))
             self.finish_model(centers, bandwidths)
 
     def finish_model(self, centers, bandwidths) -> None:
