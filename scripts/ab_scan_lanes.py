@@ -117,7 +117,7 @@ def build_scan_arm(base: dict, overrides: dict, M: int, chunk: int):
     spec_model = spec_from_config(cfg)
     spec = LoopSpec.from_config(cfg, spec_model, batch_size, B,
                                 val_chunk, nvc)
-    spec = dataclasses.replace(spec, centers_every=100)
+    spec = dataclasses.replace(spec, centers_every=chunk)
     carry_b, consts_b = prepare_carry_batch(spec_model, M)(
         keys, centers_b, bw_b)
     carry_host = jax.tree_util.tree_map(np.asarray, carry_b)

@@ -120,6 +120,17 @@ def main():
     timed("one-dispatch multi-resolution (seed_rounds=8)",
           fnr, keys, X_b, None)
 
+    # fused concat-k EM (init_gmm_fused: one while_loop over the 227-column
+    # union instead of three sequential per-resolution loops)
+    fnf = _batched_gmm_multi(KS, False, fused=True)
+    timed("one-dispatch multi-resolution (FUSED concat-k)",
+          fnf, keys, X_b, None)
+
+    # fused + bf16 EM storage (the two levers stack)
+    fnf16 = _batched_gmm_multi(KS, False, "bfloat16", fused=True)
+    timed("one-dispatch multi-resolution (FUSED + bf16 EM)",
+          fnf16, keys, X_b, None)
+
 
 if __name__ == "__main__":
     main()
