@@ -35,6 +35,8 @@ step lanes_nodrop python scripts/ab_scan_lanes.py --lanes 16 32 --pairs 8 \
   --b dropout=0.0 --out results/ab_scan_lanes_r4_nodrop
 step lanes_bf16 python scripts/ab_scan_lanes.py --lanes 16 32 --pairs 8 \
   --b train_dtype=bf16 --out results/ab_scan_lanes_r4_bf16
+step lanes_remat python scripts/ab_scan_lanes.py --lanes 16 32 --pairs 8 \
+  --b remat=true --out results/ab_scan_lanes_r4_remat
 
 # 3. direct whole-fit bf16 A/B at M=32
 step ab_bf16_m32 python scripts/ab_interleaved.py \

@@ -165,6 +165,9 @@ class ExperimentConfig:
     #                    padding, per-resolution tol freeze; seeding stream
     #                    identical, EM trajectories differ within tol)
     #   shuffle:         'perm' restores the sort-based epoch permutation
+    #   remat:           true rematerializes the training forward in the
+    #                    backward (jax.checkpoint) — smaller per-step working
+    #                    set for wide lane batches at ~1/3 more matmul FLOPs
     extra: Dict[str, Any] = field(default_factory=dict)
 
     @classmethod

@@ -122,6 +122,14 @@ class LoopSpec:
     scan_unroll: int = 1
     # gather the epoch's minibatches once per epoch instead of per step
     pregather: bool = True
+    # rematerialize the training forward in the backward pass
+    # (jax.checkpoint): the step keeps no activation residuals live, trading
+    # ~1/3 more matmul FLOPs for a much smaller per-step working set. Lever
+    # for WIDE lane batches: at M=32 the step's residuals push the scheduler
+    # past its resident window and XLA starts staging the weight-grad chunks
+    # through async copies (results/lane_scaling_r4: 0 -> 171 copy/async ops
+    # per step vs M=16); remat removes the residuals instead.
+    remat: bool = False
     # epoch shuffle source:
     #   'auto' (default) = 'hash' when lanes are uniform (any capacity;
     #       non-pow2 caps compact a pow2 bijection), else 'perm';
@@ -177,6 +185,7 @@ class LoopSpec:
             packed_opt=cfg.packed_optimizer,
             scan_unroll=cfg.scan_unroll,
             pregather=bool(cfg.extra.get("pregather", True)),
+            remat=bool(cfg.extra.get("remat", False)),
             shuffle=str(cfg.extra.get("shuffle", "auto")),
             ablate_validate=bool(cfg.extra.get("ablate_validate", False)),
         )
@@ -206,7 +215,14 @@ def training_loss(spec: LoopSpec, params: Params, consts: Dict[str, Any],
                   ) -> jax.Array:
     """Composite objective (ref train_st_interp.py:619-691; val :753-783)."""
     m = spec.model
-    preds = forward(m, params, consts, None, coords, t, train=train, rng=rng)
+    if spec.remat and train:
+        fwd = jax.checkpoint(
+            lambda p, c, tt: forward(m, p, consts, None, c, tt,
+                                     train=True, rng=rng))
+        preds = fwd(params, coords, t)
+    else:
+        preds = forward(m, params, consts, None, coords, t, train=train,
+                        rng=rng)
     return loss_from_preds(spec, params, consts, preds, y, w, train)
 
 

@@ -176,6 +176,33 @@ class TestPackedOptimizerPath:
                                    rtol=1e-4, atol=1e-6)
 
 
+class TestRematPath:
+    def test_remat_matches_default(self):
+        """remat=true (jax.checkpoint around the training forward) must be a
+        pure scheduling change: the recomputed forward runs the identical
+        ops, so losses/metrics match the default path to float tolerance.
+        Exercises dropout + learnable basis so the rematerialized closure
+        carries rng and basis params through the checkpoint."""
+        kw = dict(epochs=6, dropout=0.1, spatial_learnable=True,
+                  gradient_damping=True, damping_threshold=0.0,
+                  damping_strength=5.0, basis_unfreeze_epoch=0)
+        train_ps, valid_ps = _synthetic(256, 0), _synthetic(64, 1)
+        cfg_a = _cfg(**kw)
+        cfg_b = _cfg(remat=True, **kw)
+        spec = spec_from_config(cfg_a)
+        params, consts = init_model(jax.random.PRNGKey(7), spec)
+        r_a = fit(cfg_a, spec, params, consts, train_ps, valid_ps, seed=7,
+                  epochs_chunk=6)
+        r_b = fit(cfg_b, spec, params, consts, train_ps, valid_ps, seed=7,
+                  epochs_chunk=6)
+        np.testing.assert_allclose(r_b.history["train_loss"],
+                                   r_a.history["train_loss"],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(r_b.history["val_rmse"],
+                                   r_a.history["val_rmse"],
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestWeightedPaddingInvariance:
     def test_padding_does_not_change_eval(self):
         """Validation metrics must be identical whether or not the valid set
