@@ -57,6 +57,12 @@ def main() -> int:
     ap.add_argument("--pairs", type=int, default=12,
                     help="interleaved (a,b) batch pairs to time")
     ap.add_argument("--m", type=int, default=16, help="lanes per batch")
+    ap.add_argument("--m_b", type=int, default=None,
+                    help="lanes per batch for arm b (default: same as --m)."
+                         " When arms differ, walls are normalized per fit"
+                         " before pairing, so the ratio compares THROUGHPUT"
+                         " (e.g. --m 16 --m_b 32 asks whether 32 wide lanes"
+                         " beat two 16-lane batches per fit)")
     ap.add_argument("--out", default=None,
                     help="write summary json under this dir")
     args = ap.parse_args()
@@ -74,10 +80,12 @@ def main() -> int:
 
     tmp = Path(tempfile.mkdtemp(prefix="ab_interleaved_"))
 
+    m_arm = {"a": args.m, "b": args.m_b or args.m}
+
     def batch(arm: str, seed: int):
         cfg = ExperimentConfig.from_dict({**arms[arm], "base_seed": seed})
         jobs = [(cfg, i, tmp / arm / str(seed) / str(i))
-                for i in range(1, args.m + 1)]
+                for i in range(1, m_arm[arm] + 1)]
         t0 = time.time()
         res = run_job_batch(jobs, epochs_chunk=500)
         return time.time() - t0, res
@@ -96,15 +104,18 @@ def main() -> int:
             walls[arm].append(w)
             crps[arm].extend(r["test_crps"] for r in res)
         ra, rb = walls["a"][-1], walls["b"][-1]
-        print(f"  pair {p}: a={ra:.2f}s b={rb:.2f}s b/a={rb / ra:.3f}")
+        print(f"  pair {p}: a={ra:.2f}s b={rb:.2f}s "
+              f"b/a={(rb / m_arm['b']) / (ra / m_arm['a']):.3f}")
 
     wa, wb = np.asarray(walls["a"]), np.asarray(walls["b"])
-    ratios = wb / wa
+    # per-fit normalization makes the ratio a throughput comparison when
+    # the arms run different lane widths (m_b); identical to wb/wa otherwise
+    ratios = (wb / m_arm["b"]) / (wa / m_arm["a"])
     med = float(np.median(ratios))
     lo, hi = (float(np.percentile(ratios, q)) for q in (10, 90))
     b_faster = int((ratios < 1.0).sum())
     summary = {
-        "m": args.m, "pairs": args.pairs,
+        "m": args.m, "m_b": m_arm["b"], "pairs": args.pairs,
         "a_overrides": parse_kv(args.a), "b_overrides": parse_kv(args.b),
         "wall_a": [round(float(x), 3) for x in wa],
         "wall_b": [round(float(x), 3) for x in wb],
@@ -113,8 +124,10 @@ def main() -> int:
         "b_faster_count": b_faster,
         "crps_a_mean": round(float(np.mean(crps["a"])), 4),
         "crps_b_mean": round(float(np.mean(crps["b"])), 4),
-        "fits_per_hour_a": round(args.m / float(np.median(wa)) * 3600, 1),
-        "fits_per_hour_b": round(args.m / float(np.median(wb)) * 3600, 1),
+        "fits_per_hour_a": round(m_arm["a"] / float(np.median(wa)) * 3600,
+                                 1),
+        "fits_per_hour_b": round(m_arm["b"] / float(np.median(wb)) * 3600,
+                                 1),
     }
     print(f"\npaired wall ratio b/a: median {med:.3f} "
           f"(p10-p90 {lo:.3f}-{hi:.3f}); b faster in "
