@@ -5,6 +5,7 @@ Renders markdown delta tables between two evidence generations:
 
   table mode:    two run_table_4_4 output dirs (table_4_4_summary.json)
   families mode: two score_families output dirs (scores.csv)
+  grid mode:     two run_grid_search output dirs (grid_search_summary.csv)
 
 Deltas are reported in units of the OLD run's per-cell std where available,
 so "changed" vs "noise" is readable at a glance (10 repeats per cell; a
@@ -83,12 +84,43 @@ def cmp_families(old_dir: Path, new_dir: Path) -> int:
     return 0
 
 
+def cmp_grid(old_dir: Path, new_dir: Path) -> int:
+    """Two run_grid_search output dirs (grid_search_summary.csv)."""
+    def load(d: Path) -> dict:
+        with open(d / "grid_search_summary.csv") as f:
+            return {r["tag"]: r for r in csv.DictReader(f)}
+
+    old, new = load(old_dir), load(new_dir)
+    print(f"Grid summary: {old_dir.name} -> {new_dir.name}\n")
+    print("| config | old CRPS | new CRPS | delta | delta/sigma "
+          "| old RMSE | new RMSE |")
+    print("|---|---|---|---|---|---|---|")
+    worst = 0.0
+    for tag in old:
+        o, n = old[tag], new.get(tag)
+        if n is None:
+            print(f"| {tag} | {float(o['test_crps_mean']):.4f} "
+                  f"| MISSING | | | | |")
+            continue
+        co, cn = float(o["test_crps_mean"]), float(n["test_crps_mean"])
+        sig = (float(o["test_crps_std"])
+               / math.sqrt(max(float(o["n_experiments"]), 1.0)))
+        z = (cn - co) / sig if sig > 0 else float("nan")
+        worst = max(worst, abs(z))
+        print(f"| {tag} | {co:.4f}±{float(o['test_crps_std']):.4f} "
+              f"| {cn:.4f}±{float(n['test_crps_std']):.4f} | {cn - co:+.4f} "
+              f"| {z:+.2f} | {float(o['test_rmse_mean']):.4f} "
+              f"| {float(n['test_rmse_mean']):.4f} |")
+    print(f"\nmax |delta| = {worst:.2f} sigma_mean across configs")
+    return 0
+
+
 def main() -> int:
-    if len(sys.argv) != 4 or sys.argv[1] not in ("table", "families"):
+    modes = {"table": cmp_table, "families": cmp_families, "grid": cmp_grid}
+    if len(sys.argv) != 4 or sys.argv[1] not in modes:
         print(__doc__)
         return 2
-    mode, a, b = sys.argv[1], Path(sys.argv[2]), Path(sys.argv[3])
-    return cmp_table(a, b) if mode == "table" else cmp_families(a, b)
+    return modes[sys.argv[1]](Path(sys.argv[2]), Path(sys.argv[3]))
 
 
 if __name__ == "__main__":
