@@ -122,10 +122,16 @@ class ExperimentConfig:
                                                # as a documented negative result / flag.
     scan_unroll: int = 1                       # lax.scan unroll factor for the per-epoch
                                                # batch-step loop (larger scheduling blocks)
-    train_dtype: str = "f32"                   # trunk activation dtype in training:
+    train_dtype: str = "auto"                  # trunk activation dtype in training:
                                                # 'bf16' halves the HBM activation traffic
                                                # the fit scan is bound by (params, LN
-                                               # stats, losses, optimizer stay f32)
+                                               # stats, losses, optimizer stay f32).
+                                               # 'auto' (default) = f32 at <=16 lanes/
+                                               # device (where bf16 is wall-neutral) and
+                                               # bf16 for wider lane batches, where it is
+                                               # the measured winner (0.907/0.946 paired
+                                               # at M=32 across two sessions, CRPS-
+                                               # neutral; batch_engine.AUTO_BF16_LANES)
     k_spatial_pad: Optional[int] = None        # ragged-k lane stacking (SURVEY §7.1
                                                # step 6): pad this config's spatial basis
                                                # to k_spatial_pad total centers so grid

@@ -120,7 +120,10 @@ def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -
                     and (cfg.use_pallas if use_pallas is None else use_pallas)),
         use_pallas_training=cfg.use_pallas_training and not ragged,
         use_fused_training=cfg.use_fused_training and not ragged,
-        compute_dtype=cfg.train_dtype,
+        # 'auto' resolves to f32 here; the batch engine flips wide-lane
+        # batches to bf16 (batch_engine._apply_auto_train_dtype)
+        compute_dtype=("f32" if cfg.train_dtype == "auto"
+                       else cfg.train_dtype),
     )
 
 

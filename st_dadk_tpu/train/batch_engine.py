@@ -367,6 +367,44 @@ def stacking_key(cfg: ExperimentConfig):
 # with cfg.extra['lanes_per_device'].
 LANES_PER_DEVICE = 16
 
+# train_dtype='auto' (the default) resolves to bf16 once a compiled batch
+# runs wider than this many lanes per device. Past 16 lanes the fit scan is
+# HBM-pressure-bound (XLA stages weight-grad chunks through async copies;
+# docs/BENCHMARKS.md "Round-4 per-HLO attribution") and the bf16 trunk's
+# halved activation traffic is the measured winner: 0.907 / 0.946 median
+# paired wall across two independent sessions at M=32, CRPS-neutral
+# (results/ab_interleaved_bf16_m32_r4{,c}). At <=16 lanes bf16 is wall-
+# neutral (0.990 paired), so 'auto' keeps f32 there — same program as the
+# old default, nothing recompiles.
+AUTO_BF16_LANES = 16
+
+
+def _padded_lanes_per_device(M: int, n_dev: int,
+                             lane_width: Optional[int]) -> int:
+    """Lane width per device of the COMPILED batch program (mirrors the
+    tail padding in _prepare_job_batch/_execute_job_batch: ragged tails are
+    padded up to the stream's common width)."""
+    M_pad = M + ((-M) % n_dev)
+    if (lane_width is not None and M_pad < lane_width
+            and lane_width % n_dev == 0):
+        M_pad = lane_width
+    return M_pad // n_dev
+
+
+def _apply_auto_train_dtype(cfg: ExperimentConfig, setups: List,
+                            lanes_per_device: int) -> None:
+    """Resolve train_dtype='auto' for one batch: flip every lane's spec to
+    the bf16 trunk when the compiled program runs wide (see AUTO_BF16_LANES).
+    At narrow widths the specs already carry the f32 resolution from
+    spec_from_config, so nothing changes and the compiled-program cache
+    stays warm. An explicit 'f32'/'bf16' config is never overridden."""
+    if cfg.train_dtype != "auto" or lanes_per_device <= AUTO_BF16_LANES:
+        return
+    import dataclasses
+    for s in setups:
+        if s.spec.compute_dtype != "bf16":
+            s.spec = dataclasses.replace(s.spec, compute_dtype="bf16")
+
 
 def run_lane_jobs(
     jobs: List,
@@ -540,6 +578,9 @@ def _prepare_job_batch(
         if len(shapes) != 1:
             raise ValueError(f"run_job_batch: dataset shapes differ: "
                              f"{shapes}")
+        _apply_auto_train_dtype(cfg, setups, _padded_lanes_per_device(
+            len(setups), experiment_mesh(cfg.mesh_axis).devices.size,
+            lane_width))
         stacked = _stack_lane_host(cfg, setups)
         # NOTE: the data-adaptive init (device programs + any host RNG
         # replay) deliberately stays on the MAIN thread (_execute_job_batch):
@@ -593,6 +634,7 @@ def _prepare_job_batch(
         if len(shapes) != 1:
             raise ValueError(f"run_job_batch: dataset shapes differ: "
                              f"{shapes}")
+    _apply_auto_train_dtype(cfg, setups + pad_setups, M_pad // n_dev)
     return dict(cfg=cfg, setups=setups, pad_setups=pad_setups,
                 lane_cfgs=[j[0] for j in norm_todo], mesh=mesh,
                 M_global=M, M_pad=M_pad, owned_slice=sl, streaming=True,
