@@ -98,10 +98,15 @@ def main() -> int:
     chunk = args.epochs_chunk
     M = args.m
 
-    report = {"m": M, "epochs_chunk": chunk, "pairs": args.pairs,
-              "sizes": {}}
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    # staged runs (--sizes subsets) merge into one report
+    if (out / "report.json").exists():
+        report = json.loads((out / "report.json").read_text())
+        report.update(m=M, epochs_chunk=chunk, pairs=args.pairs)
+    else:
+        report = {"m": M, "epochs_chunk": chunk, "pairs": args.pairs,
+                  "sizes": {}}
 
     for size in args.sizes:
         base = bench_workload(**SIZES[size])
