@@ -87,6 +87,20 @@ class ExperimentConfig:
     weight_decay: float = 1e-5
     batch_size: int = 256
     patience: int = 15
+    # Plateau-slope stop (opt-in, default OFF = exact reference semantics).
+    # With a value d > 0, the patience counter resets only on SIGNIFICANT
+    # improvement — val_loss < anchor - d*|anchor|, where the anchor is the
+    # last significant value — so a lane whose validation keeps improving by
+    # less than d per patience-window stops after `patience` epochs instead
+    # of training to the epoch cap (the mixed-grid critical path: smooth
+    # fields like 2a_9 improve genuinely-but-marginally for 500 epochs;
+    # docs/BENCHMARKS.md "mixed-grid x1.24"). Equivalent per-epoch slope
+    # threshold: d / patience. best-EMA checkpointing still tracks the TRUE
+    # best on any improvement; only the stop decision is thresholded. At 0.0
+    # the criterion reduces bit-exactly to the reference's any-improvement
+    # patience. Accuracy-affecting when on: see the Table-4.4 neutrality
+    # rerun in results/mixed_grid_r5.
+    early_stop_min_rel_delta: float = 0.0
     grad_clip: float = 0.0
     scheduler: Optional[str] = None            # None | 'cosine'
     warmup_epochs: int = 0
@@ -126,12 +140,15 @@ class ExperimentConfig:
                                                # 'bf16' halves the HBM activation traffic
                                                # the fit scan is bound by (params, LN
                                                # stats, losses, optimizer stay f32).
-                                               # 'auto' (default) = f32 at <=16 lanes/
-                                               # device (where bf16 is wall-neutral) and
-                                               # bf16 for wider lane batches, where it is
-                                               # the measured winner (0.907/0.946 paired
-                                               # at M=32 across two sessions, CRPS-
-                                               # neutral; batch_engine.AUTO_BF16_LANES)
+                                               # 'auto' (default) flips to bf16 in the
+                                               # two measured winning regimes: wide lane
+                                               # batches (>16 lanes/device, 0.907/0.946
+                                               # paired at M=32; batch_engine.
+                                               # AUTO_BF16_LANES) and wide MLPs
+                                               # (sum(hidden_dims)>=1280, 0.88-0.92
+                                               # paired; st_interp.AUTO_BF16_HIDDEN_SUM,
+                                               # results/scaling_regimes_r5). f32
+                                               # elsewhere (bf16 is wall-neutral there).
     k_spatial_pad: Optional[int] = None        # ragged-k lane stacking (SURVEY §7.1
                                                # step 6): pad this config's spatial basis
                                                # to k_spatial_pad total centers so grid

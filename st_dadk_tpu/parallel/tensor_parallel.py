@@ -538,6 +538,14 @@ def fit_tp(cfg, spec_model: ModelSpec, params: Params,
     from st_dadk_tpu.train.loop import FitResult, LoopSpec, adaptive_batch_size
     from st_dadk_tpu.train.optimizer import adamw_init, build_lr_tables
 
+    if getattr(cfg, "early_stop_min_rel_delta", 0.0):
+        # the TP epoch body keeps its own tuple carry without the sig
+        # anchor; silently ignoring the knob would diverge from the vmap/DP
+        # engines' stop semantics
+        raise NotImplementedError(
+            "early_stop_min_rel_delta (plateau-slope stop) is not "
+            "implemented for the tensor-parallel fit; use the vmap/DP "
+            "engines or set it to 0")
     n_dev = mesh.shape[axis]
     batch_size = adaptive_batch_size(train_ps.n_real, cfg.batch_size)
     B = max(1, -(-train_ps.n_real // batch_size))

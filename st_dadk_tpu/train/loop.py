@@ -92,6 +92,11 @@ class LoopSpec:
     n_batches: int = 1            # shared (max) batches per epoch
     epochs: int = 100
     patience: int = 15
+    # plateau-slope stop threshold (config.early_stop_min_rel_delta): the
+    # patience counter resets only when val_loss beats the last significant
+    # anchor by more than this relative margin. 0.0 = exact reference
+    # any-improvement semantics (the sig-anchor then tracks best_val).
+    min_rel_delta: float = 0.0
     val_chunk: int = 32768        # validation batch size
     n_val_chunks: int = 1
     record_centers: bool = False
@@ -178,6 +183,7 @@ class LoopSpec:
             n_batches=n_batches,
             epochs=cfg.epochs,
             patience=cfg.patience,
+            min_rel_delta=cfg.early_stop_min_rel_delta,
             val_chunk=val_chunk,
             n_val_chunks=n_val_chunks,
             record_centers=cfg.spatial_learnable,
@@ -577,7 +583,21 @@ def _epoch_bookkeeping(spec: LoopSpec, carry: Dict[str, Any],
                                val_loss < carry["best_val"])
     best_val = jnp.where(improved, val_loss, carry["best_val"])
     has_best = jnp.logical_or(carry["has_best"], improved)
-    patience_ctr = jnp.where(improved, 0, carry["patience_ctr"] + 1)
+    # plateau-slope stop (config.early_stop_min_rel_delta): patience resets
+    # only on SIGNIFICANT improvement past the sig anchor. At the 0.0
+    # default, sig_best's update trajectory equals best_val's, so
+    # sig_improved == improved and the reference's any-improvement patience
+    # is reproduced bit-exactly.
+    # (sig_best starts at +inf: d*|inf| = NaN — even 0.0*inf — so the
+    # anchor-margin applies only once a finite anchor exists)
+    sig_thresh = jnp.where(
+        jnp.isfinite(carry["sig_best"]),
+        carry["sig_best"] - spec.min_rel_delta * jnp.abs(carry["sig_best"]),
+        carry["sig_best"])
+    sig_improved = jnp.logical_and(jnp.isfinite(val_loss),
+                                   val_loss < sig_thresh)
+    sig_best = jnp.where(sig_improved, val_loss, carry["sig_best"])
+    patience_ctr = jnp.where(sig_improved, 0, carry["patience_ctr"] + 1)
     stop_now = patience_ctr >= spec.patience
     stopped = jnp.logical_or(carry["stopped"], stop_now)
     stop_epoch = jnp.where(
@@ -589,6 +609,7 @@ def _epoch_bookkeeping(spec: LoopSpec, carry: Dict[str, Any],
     was_stopped = jnp.logical_or(carry["stopped"], jnp.logical_not(active))
     scalars = {
         "best_val": jnp.where(was_stopped, carry["best_val"], best_val),
+        "sig_best": jnp.where(was_stopped, carry["sig_best"], sig_best),
         "has_best": jnp.where(was_stopped, carry["has_best"], has_best),
         "patience_ctr": jnp.where(was_stopped, carry["patience_ctr"],
                                   patience_ctr),
@@ -625,6 +646,7 @@ def _pack_carry(ps, carry: Dict[str, Any]) -> Dict[str, Any]:
         "bk": ps.pack(carry["best_ema"]),
         "step": carry["opt_state"]["step"],
         "best_val": carry["best_val"],
+        "sig_best": carry["sig_best"],
         "has_best": carry["has_best"],
         "patience_ctr": carry["patience_ctr"],
         "stopped": carry["stopped"],
@@ -641,6 +663,7 @@ def _unpack_carry(ps, pc: Dict[str, Any]) -> Dict[str, Any]:
         "ema": ps.unpack(pc["ek"]),
         "best_ema": ps.unpack(pc["bk"]),
         "best_val": pc["best_val"],
+        "sig_best": pc["sig_best"],
         "has_best": pc["has_best"],
         "patience_ctr": pc["patience_ctr"],
         "stopped": pc["stopped"],
@@ -921,6 +944,7 @@ def prepare_carry_batch(spec_model: ModelSpec, M: int,
             "ema": copy(params_b),
             "best_ema": copy(params_b),
             "best_val": jnp.full((M,), jnp.inf, jnp.float32),
+            "sig_best": jnp.full((M,), jnp.inf, jnp.float32),
             "has_best": jnp.zeros((M,), bool),
             "patience_ctr": jnp.zeros((M,), jnp.int32),
             "stopped": jnp.zeros((M,), bool),
@@ -1038,6 +1062,7 @@ def init_carry(params: Params, key: jax.Array) -> Dict[str, Any]:
         "ema": copy(params),
         "best_ema": copy(params),
         "best_val": jnp.asarray(np.inf, jnp.float32),
+        "sig_best": jnp.asarray(np.inf, jnp.float32),
         "has_best": jnp.asarray(False),
         "patience_ctr": jnp.asarray(0, jnp.int32),
         "stopped": jnp.asarray(False),
