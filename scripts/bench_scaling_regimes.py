@@ -60,6 +60,7 @@ def _load_scan_harness():
 # arm-build cost stays bounded; the timed scan program is init-agnostic.
 SIZES = {
     "ref": {},
+    "mlp2x": {"hidden_dims": [512, 512, 256]},
     "mlp4x": {"hidden_dims": [1024, 1024, 512]},
     "mlp4x_k4x": {"hidden_dims": [1024, 1024, 512],
                   "k_spatial_centers": [1024],
@@ -74,6 +75,9 @@ ARMS = {
     "bf16": {"train_dtype": "bf16"},
     "remat": {"remat": True},
     "bf16_remat": {"train_dtype": "bf16", "remat": True},
+    # measured-negative-at-reference-size Pallas training embed (VERDICT r4
+    # item 1: does it earn a regime at larger k / hidden_dims?)
+    "pallas": {"use_pallas": True, "use_pallas_training": True},
 }
 
 

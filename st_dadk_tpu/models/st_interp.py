@@ -93,6 +93,19 @@ class ModelSpec:
         return self.use_delta_reparameterization and self.output_dim > 1
 
 
+# train_dtype='auto' size trigger: the bf16 trunk's halved activation
+# traffic wins once the MLP is wide enough — measured paired wall ratios
+# vs f32 at M=8 (results/scaling_regimes_r5/report.json, drift-controlled):
+# sum(hidden)=640 (reference) 0.967; 1280 (2x) 0.919; 2560 (4x) 0.881;
+# 5120 (8x) 0.881 — a monotone regime from 2x up, so 'auto' flips at the
+# measured 2x crossover. CRPS-neutrality of the bf16 trunk is measured at
+# the reference size and M=32 (docs/BENCHMARKS.md); at larger models the
+# same activations-only mechanism applies (params/optimizer stay f32) but
+# re-validate per workload. Thresholds are per-chip (v5e); see also the
+# lane-width trigger batch_engine.AUTO_BF16_LANES.
+AUTO_BF16_HIDDEN_SUM = 1280
+
+
 def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -> ModelSpec:
     # ragged-k stacking: the compiled program sees one padded resolution of
     # k_spatial_pad centers; the real multi-resolution layout lives in the
@@ -120,10 +133,12 @@ def spec_from_config(cfg: ExperimentConfig, use_pallas: Optional[bool] = None) -
                     and (cfg.use_pallas if use_pallas is None else use_pallas)),
         use_pallas_training=cfg.use_pallas_training and not ragged,
         use_fused_training=cfg.use_fused_training and not ragged,
-        # 'auto' resolves to f32 here; the batch engine flips wide-lane
-        # batches to bf16 (batch_engine._apply_auto_train_dtype)
-        compute_dtype=("f32" if cfg.train_dtype == "auto"
-                       else cfg.train_dtype),
+        # 'auto' resolves by MODEL SIZE here (the measured bf16 regime:
+        # results/scaling_regimes_r5); the batch engine additionally flips
+        # wide-lane batches (batch_engine._apply_auto_train_dtype)
+        compute_dtype=(("bf16" if sum(cfg.hidden_dims)
+                        >= AUTO_BF16_HIDDEN_SUM else "f32")
+                       if cfg.train_dtype == "auto" else cfg.train_dtype),
     )
 
 

@@ -64,6 +64,25 @@ class TestResolution:
         _apply_auto_train_dtype(cfg, setups, 64)
         assert all(s.spec.compute_dtype == "f32" for s in setups)
 
+    def test_auto_flips_wide_mlps_by_size(self):
+        """Round-5 size trigger (results/scaling_regimes_r5): 'auto'
+        resolves bf16 once sum(hidden_dims) reaches the measured 2x
+        crossover, f32 below it; explicit values bypass the trigger."""
+        from st_dadk_tpu.models.st_interp import AUTO_BF16_HIDDEN_SUM
+        assert AUTO_BF16_HIDDEN_SUM == 1280  # cited crossover
+        ref = ExperimentConfig.from_dict(
+            {"hidden_dims": [256, 256, 128]})          # sum 640
+        assert spec_from_config(ref).compute_dtype == "f32"
+        mlp2x = ExperimentConfig.from_dict(
+            {"hidden_dims": [512, 512, 256]})          # sum 1280
+        assert spec_from_config(mlp2x).compute_dtype == "bf16"
+        mlp4x = ExperimentConfig.from_dict(
+            {"hidden_dims": [1024, 1024, 512]})
+        assert spec_from_config(mlp4x).compute_dtype == "bf16"
+        pinned = ExperimentConfig.from_dict(
+            {"hidden_dims": [1024, 1024, 512], "train_dtype": "f32"})
+        assert spec_from_config(pinned).compute_dtype == "f32"
+
     def test_explicit_bf16_kept_at_narrow_width(self):
         cfg = ExperimentConfig.from_dict({"train_dtype": "bf16"})
         setups = _setups(2, dtype="bf16")
