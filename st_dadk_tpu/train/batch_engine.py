@@ -371,11 +371,18 @@ LANES_PER_DEVICE = 16
 # runs wider than this many lanes per device. Past 16 lanes the fit scan is
 # HBM-pressure-bound (XLA stages weight-grad chunks through async copies;
 # docs/BENCHMARKS.md "Round-4 per-HLO attribution") and the bf16 trunk's
-# halved activation traffic is the measured winner: 0.907 / 0.946 median
-# paired wall across two independent sessions at M=32, CRPS-neutral
-# (results/ab_interleaved_bf16_m32_r4{,c}). At <=16 lanes bf16 is wall-
-# neutral (0.990 paired), so 'auto' keeps f32 there — same program as the
-# old default, nothing recompiles.
+# halved activation traffic is the measured winner. The threshold sits on
+# a measured width curve, not just its endpoints (paired wall ratio
+# bf16/f32, drift-controlled; CRPS-neutral at every width):
+#   M=16  0.990  (neutral; results/ab_interleaved_bf16_r4)
+#   M=20  0.888  (9/10 pairs;  results/ab_bf16_m20_r5)
+#   M=24  0.960  (6/10 pairs;  results/ab_bf16_m24_r5)
+#   M=32  0.907/0.946 (two sessions; results/ab_interleaved_bf16_m32_r4{,c})
+# so 'auto' keeps f32 at <=16 (same program as the old default, nothing
+# recompiles) and flips every measured wider width, where bf16 wins or
+# ties. Per-chip constant (v5e; revalidate on real multi-chip HBM/ICI —
+# docs/ROADMAP.md). The model-SIZE trigger lives in
+# st_interp.AUTO_BF16_HIDDEN_SUM (results/scaling_regimes_r5).
 AUTO_BF16_LANES = 16
 
 
