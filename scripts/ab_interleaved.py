@@ -65,13 +65,19 @@ def main() -> int:
                          " beat two 16-lane batches per fit)")
     ap.add_argument("--out", default=None,
                     help="write summary json under this dir")
+    ap.add_argument("--stream", type=int, default=0,
+                    help="N>0: each timed rep is a PIPELINED stream of N "
+                         "batches (run_job_batches) instead of one "
+                         "sequential batch — required for knobs whose "
+                         "effect is overlap between consecutive batches "
+                         "(e.g. final_stop_sync); walls normalize per fit")
     args = ap.parse_args()
 
     import numpy as np
 
     from st_dadk_tpu.bench_workload import bench_workload
     from st_dadk_tpu.config import ExperimentConfig
-    from st_dadk_tpu.train.batch_engine import run_job_batch
+    from st_dadk_tpu.train.batch_engine import run_job_batch, run_job_batches
 
     arms = {"a": bench_workload(**parse_kv(args.a)),
             "b": bench_workload(**parse_kv(args.b))}
@@ -83,9 +89,20 @@ def main() -> int:
     m_arm = {"a": args.m, "b": args.m_b or args.m}
 
     def batch(arm: str, seed: int):
+        M = m_arm[arm]
+        if args.stream:
+            batches = []
+            for bi in range(args.stream):
+                cfg = ExperimentConfig.from_dict(
+                    {**arms[arm], "base_seed": seed + bi * 131})
+                batches.append([(cfg, i, tmp / arm / f"{seed}_{bi}" / str(i))
+                                for i in range(1, M + 1)])
+            t0 = time.time()
+            res = run_job_batches(batches, epochs_chunk=500)
+            return time.time() - t0, res
         cfg = ExperimentConfig.from_dict({**arms[arm], "base_seed": seed})
         jobs = [(cfg, i, tmp / arm / str(seed) / str(i))
-                for i in range(1, m_arm[arm] + 1)]
+                for i in range(1, M + 1)]
         t0 = time.time()
         res = run_job_batch(jobs, epochs_chunk=500)
         return time.time() - t0, res
@@ -114,8 +131,10 @@ def main() -> int:
     med = float(np.median(ratios))
     lo, hi = (float(np.percentile(ratios, q)) for q in (10, 90))
     b_faster = int((ratios < 1.0).sum())
+    fits_rep = {k: m_arm[k] * max(args.stream, 1) for k in m_arm}
     summary = {
         "m": args.m, "m_b": m_arm["b"], "pairs": args.pairs,
+        "stream": args.stream,
         "a_overrides": parse_kv(args.a), "b_overrides": parse_kv(args.b),
         "wall_a": [round(float(x), 3) for x in wa],
         "wall_b": [round(float(x), 3) for x in wb],
@@ -124,15 +143,17 @@ def main() -> int:
         "b_faster_count": b_faster,
         "crps_a_mean": round(float(np.mean(crps["a"])), 4),
         "crps_b_mean": round(float(np.mean(crps["b"])), 4),
-        "fits_per_hour_a": round(m_arm["a"] / float(np.median(wa)) * 3600,
+        "fits_per_hour_a": round(fits_rep["a"] / float(np.median(wa)) * 3600,
                                  1),
-        "fits_per_hour_b": round(m_arm["b"] / float(np.median(wb)) * 3600,
+        "fits_per_hour_b": round(fits_rep["b"] / float(np.median(wb)) * 3600,
                                  1),
     }
     print(f"\npaired wall ratio b/a: median {med:.3f} "
           f"(p10-p90 {lo:.3f}-{hi:.3f}); b faster in "
           f"{b_faster}/{args.pairs} pairs")
-    print(f"unpipelined fits/hr: a {summary['fits_per_hour_a']:,} "
+    mode = (f"pipelined x{args.stream} stream" if args.stream
+            else "unpipelined")
+    print(f"{mode} fits/hr: a {summary['fits_per_hour_a']:,} "
           f"b {summary['fits_per_hour_b']:,}")
     print(f"CRPS: a {summary['crps_a_mean']} b {summary['crps_b_mean']}")
     if args.out:

@@ -58,6 +58,15 @@ def main() -> int:
                     help="interleaved (grid, homogeneous) rep pairs to time")
     ap.add_argument("--out", default=None,
                     help="write summary json under this dir")
+    ap.add_argument("--grid-overrides", default="{}",
+                    help="JSON config overrides applied to the GRID arm only "
+                         "(the homogeneous arm stays the headline default so "
+                         "the paired ratio reads as 'grid policy vs headline')"
+                         ", e.g. '{\"early_stop_min_rel_delta\": 0.001}'")
+    ap.add_argument("--sweep-thresholds", default=None,
+                    help="comma list of early_stop_min_rel_delta values; runs "
+                         "ONE grid per value and reports wall / stop-epoch / "
+                         "CRPS per config instead of the paired protocol")
     args = ap.parse_args()
 
     import numpy as np
@@ -68,19 +77,25 @@ def main() -> int:
     from st_dadk_tpu.train.batch_engine import run_job_batches
 
     base = bench_workload(n_experiments=N_REPEATS)
+    grid_overrides = json.loads(args.grid_overrides)
     n_fits = (len(PARAM_GRID["data_file"])
               * len(PARAM_GRID["obs_spatial_pattern"]) * N_REPEATS)
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_mixed_grid_"))
 
-    def grid_rep(rep: int) -> float:
+    def grid_rep(rep: int, keep: bool = False, overrides=None):
         out = tmp / f"grid{rep}"
         t0 = time.time()
-        results = run_grid_search({**base, "base_seed": 2025 + rep * 1000},
+        results = run_grid_search({**base, **(grid_overrides
+                                              if overrides is None
+                                              else overrides),
+                                   "base_seed": 2025 + rep * 1000},
                                   PARAM_GRID, out, engine="vmap")
         wall = time.time() - t0
         ok = sum(1 for r in results if r["status"] == "success")
         assert ok == len(results) == 6, [r["status"] for r in results]
+        if keep:
+            return wall, out, results
         shutil.rmtree(out, ignore_errors=True)
         return wall
 
@@ -96,6 +111,65 @@ def main() -> int:
         assert len(res) == n_fits
         shutil.rmtree(tmp / f"homog{rep}", ignore_errors=True)
         return wall
+
+    def scan_grid_out(out: Path):
+        """Per-config (tag) stop-epoch + CRPS scrape from results.json."""
+        per_cfg = {}
+        for cfg_dir in sorted(p for p in out.iterdir() if p.is_dir()):
+            rows = []
+            for rj in sorted(cfg_dir.glob("*/results.json")):
+                with open(rj) as f:
+                    r = json.load(f)
+                rows.append((r.get("n_epochs_run"), r.get("test_crps")))
+            if rows:
+                ep = [x[0] for x in rows if x[0] is not None]
+                cr = [x[1] for x in rows if x[1] is not None]
+                per_cfg[cfg_dir.name] = {
+                    "epochs_mean": round(float(np.mean(ep)), 1),
+                    "epochs_max": int(np.max(ep)),
+                    "test_crps_mean": round(float(np.mean(cr)), 4),
+                    "test_crps_std": round(float(np.std(cr)), 4),
+                }
+        return per_cfg
+
+    if args.sweep_thresholds is not None:
+        # threshold characterization: one 48-fit grid per value; the point
+        # is the stop-epoch distribution (does the plateau stop actually
+        # fire on the smooth-field critical-path configs?) and a first-look
+        # CRPS delta, not a drift-controlled wall (the walls differ >20%
+        # when the stop fires, far above session drift)
+        try:
+            sweep = []
+            for di, d in enumerate(float(x) for x in
+                                   args.sweep_thresholds.split(",")):
+                ov = dict(grid_overrides, early_stop_min_rel_delta=d)
+                w_warm = grid_rep(900 + di, overrides=ov)   # compile pass
+                wall, out, _ = grid_rep(0, keep=True, overrides=ov)
+                per_cfg = scan_grid_out(out)
+                shutil.rmtree(out, ignore_errors=True)
+                rate = n_fits / wall * 3600
+                sweep.append({"min_rel_delta": d, "wall_seconds":
+                              round(wall, 2), "warm_wall_seconds":
+                              round(w_warm, 2),
+                              "fits_per_hour": round(rate, 1),
+                              "per_config": per_cfg})
+                print(f"\nd={d:g}: {wall:.2f}s ({rate:,.0f} fits/hr)")
+                for tag, v in per_cfg.items():
+                    print(f"  {tag:<42} epochs {v['epochs_mean']:>6.1f} "
+                          f"(max {v['epochs_max']:>3}) crps "
+                          f"{v['test_crps_mean']:.4f}"
+                          f"+/-{v['test_crps_std']:.4f}")
+            if args.out:
+                outp = Path(args.out)
+                outp.mkdir(parents=True, exist_ok=True)
+                (outp / "threshold_sweep.json").write_text(
+                    json.dumps({"param_grid": PARAM_GRID,
+                                "n_repeats": N_REPEATS, "sweep": sweep},
+                               indent=2))
+                print(f"[OK] wrote {outp / 'threshold_sweep.json'}")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return 0
 
     try:
         # warm both arms twice (compile + tunnel spin-up); they share the
@@ -123,6 +197,7 @@ def main() -> int:
         rate_h = n_fits / float(np.median(wh)) * 3600
         summary = {
             "n_fits": n_fits, "n_configs": 6, "reps": args.reps,
+            "grid_overrides": grid_overrides,
             "param_grid": PARAM_GRID, "n_repeats": N_REPEATS,
             "wall_grid": [round(float(x), 3) for x in wg],
             "wall_homog": [round(float(x), 3) for x in wh],

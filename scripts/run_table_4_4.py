@@ -10,6 +10,7 @@ scenarios {Fixed,Random} x {Uniform,Clustered}; models STDK (uniform grid,
 fixed) and DA-STDK (balanced k-means, learnable).
 """
 import argparse
+import json
 import sys
 from datetime import datetime
 from pathlib import Path
@@ -113,7 +114,13 @@ def main():
     parser.add_argument("--engine", type=str, default="vmap",
                         choices=["vmap", "sequential"])
     parser.add_argument("--skip-existing", action="store_true")
+    parser.add_argument("--overrides", type=str, default="{}",
+                        help="JSON config overrides merged into every "
+                             "scenario/model config AFTER the protocol "
+                             "fields — for policy-neutrality reruns, e.g. "
+                             "'{\"early_stop_min_rel_delta\": 0.001}'")
     args = parser.parse_args()
+    overrides = json.loads(args.overrides)
 
     from st_dadk_tpu.parallel.multihost import shared_timestamp
     out = Path(args.output_dir or
@@ -138,6 +145,7 @@ def main():
                                        args.delta_penalty_mode)
     scenario_summaries = {}
     for scenario_name, model_name, cfg in configs:
+        cfg.update(overrides)
         cfg["n_experiments"] = args.n_experiments
         cdir = out / cfg["tag"]
         cdir.mkdir(parents=True, exist_ok=True)
@@ -161,7 +169,8 @@ def main():
 
     scenario_summaries["_protocol"] = {
         "delta_penalty_mode": args.delta_penalty_mode,
-        "quarantined": args.delta_penalty_mode == "eq310"}
+        "quarantined": args.delta_penalty_mode == "eq310",
+        **({"overrides": overrides} if overrides else {})}
     save_json(scenario_summaries, out / "table_4_4_summary.json")
     print(f"\nTable 4.4 summary -> {out / 'table_4_4_summary.json'}")
 

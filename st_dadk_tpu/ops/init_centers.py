@@ -578,11 +578,16 @@ def _nn_bandwidths(centers: np.ndarray, n_neighbors: int = 4,
     return np.maximum(bw, np.float32(floor))
 
 
-def _subsample(train_coords: np.ndarray, cap: Optional[int] = None
-               ) -> np.ndarray:
+def _subsample(train_coords: np.ndarray, cap: Optional[int] = None,
+               rng=None) -> np.ndarray:
+    """Reference-stream subsample. `rng` (a np.random.RandomState) draws the
+    bit-identical sequence to the global np.random functions — the module-
+    level functions delegate to a global RandomState — without touching
+    (or locking) the global stream."""
     cap = MAX_INIT_SAMPLES if cap is None else int(cap)
     if len(train_coords) > cap:
-        idx = np.random.choice(len(train_coords), cap, replace=False)
+        idx = (rng or np.random).choice(len(train_coords), cap,
+                                        replace=False)
         return train_coords[idx]
     return train_coords
 
@@ -767,20 +772,28 @@ def init_spatial_centers_batch(
             return _stack_device(out)
         return out
 
+    # lock-free: the sequential-exact replay runs on a PRIVATE RandomState
+    # seeded from each lane's captured stream state (bit-identical draws to
+    # np.random.set_state + np.random.choice — the global functions delegate
+    # to a module-level RandomState). Taking GLOBAL_NP_RNG_LOCK here
+    # serialized the pipelined stream: the prepare thread holds the lock for
+    # the whole mask-sampling pass of batch k+2, so the main thread's init
+    # dispatch for batch k+1 idled the device ~0.5 s per batch
+    # (results/trace_steady_r5 gap attribution).
     Xs = []
-    with GLOBAL_NP_RNG_LOCK:
-        for i, tc in enumerate(train_coords_list):
-            cap = MAX_INIT_SAMPLES if subsample is None else int(subsample)
-            if rng_states is not None:
-                np.random.set_state(rng_states[i])
-                sub = _subsample(tc, cap)   # sequential-exact global stream
-            elif len(tc) > cap:
-                rng = np.random.default_rng(
-                    np.asarray(jax.random.key_data(keys[i]))[-1])
-                sub = tc[rng.choice(len(tc), cap, replace=False)]
-            else:
-                sub = tc
-            Xs.append(np.asarray(sub, np.float32))
+    for i, tc in enumerate(train_coords_list):
+        cap = MAX_INIT_SAMPLES if subsample is None else int(subsample)
+        if rng_states is not None:
+            rs = np.random.RandomState()
+            rs.set_state(rng_states[i])
+            sub = _subsample(tc, cap, rng=rs)
+        elif len(tc) > cap:
+            rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(keys[i]))[-1])
+            sub = tc[rng.choice(len(tc), cap, replace=False)]
+        else:
+            sub = tc
+        Xs.append(np.asarray(sub, np.float32))
 
     n_max = max(len(x) for x in Xs)
     uniform_size = all(len(x) == n_max for x in Xs)

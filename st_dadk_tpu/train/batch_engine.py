@@ -496,6 +496,8 @@ def run_job_batches(
                                          lane_width=lane_width))
         return results
 
+    from collections import deque
+
     results: List[Dict[str, Any]] = []
     it = iter(batches)
     with ThreadPoolExecutor(max_workers=1) as prep_ex, \
@@ -510,7 +512,7 @@ def run_job_batches(
                                   lane_width=lane_width)
 
         prep_fut = submit_next_prepare()
-        fin_fut = None
+        fin_futs: deque = deque()
         while prep_fut is not None:
             prep = prep_fut.result()
             prep_fut = submit_next_prepare()   # overlaps this batch's training
@@ -518,12 +520,22 @@ def run_job_batches(
                                         epochs_chunk=epochs_chunk, mesh=mesh,
                                         lane_width=lane_width)
                      if prep is not None else [])
-            if fin_fut is not None:
-                results.extend(fin_fut.result())
-            fin_fut = fin_ex.submit(_finalize_job_batch, state) if state \
-                else None
-        if fin_fut is not None:
-            results.extend(fin_fut.result())
+            # drain completed finalizes WITHOUT blocking the dispatch loop: a
+            # blocking fin.result() here put batch k-1's finalize tail (pull
+            # round trips + host assembly) on the critical path of batch
+            # k+1's init dispatch, idling the device ~0.5 s per batch
+            # (results/trace_steady_r5 gap attribution). At most two stay in
+            # flight so trained-batch device state cannot pile up when
+            # finalize is the slower side.
+            blocking = bool(state) and bool(state["cfg"].extra.get(
+                "pipeline_blocking_finalize", False))  # measurement baseline
+            while fin_futs and (blocking or fin_futs[0].done()
+                                or len(fin_futs) >= 2):
+                results.extend(fin_futs.popleft().result())
+            if state:
+                fin_futs.append(fin_ex.submit(_finalize_job_batch, state))
+        while fin_futs:
+            results.extend(fin_futs.popleft().result())
     return results
 
 
@@ -966,7 +978,18 @@ def _execute_job_batch(
         h["_lane_idx"] = lane_idx
         hists.append(h)
         epochs_done += c
-        if _all_lanes_stopped(carry_cur["stopped"], mesh):
+        # skip the stopped-flag sync on the FINAL chunk: the pull blocks the
+        # host until the whole fit program completes, and with the default
+        # single 500-epoch chunk that serialized every next-batch main-thread
+        # dispatch (init upload + GMM program) behind this batch's fit — a
+        # device bubble on every batch of the pipelined stream (trace +
+        # paired A/B evidence: results/trace_steady_r5, docs/BENCHMARKS.md).
+        # When the loop exits on the epoch budget anyway, nothing consumes
+        # the flag; finalize pulls ride their own thread. Mid-loop chunks
+        # still sync (the early-exit contract). extra['final_stop_sync']
+        # restores the old blocking behavior (measurement baseline).
+        if (epochs_done < E or cfg.extra.get("final_stop_sync", False)) \
+                and _all_lanes_stopped(carry_cur["stopped"], mesh):
             break
 
     if lane_idx is not None:
@@ -1139,7 +1162,10 @@ def _execute_job_batch_streaming(
         h["_lane_idx"] = None
         hists.append(h)
         epochs_done += c
-        if _all_lanes_stopped(carry_b["stopped"], mesh):
+        # final-chunk sync skipped for the same reason as the vmap engine's
+        # loop above: the loop exits on the epoch budget, nothing reads the
+        # flag, and on a pod every process skips at the same loop point
+        if epochs_done < E and _all_lanes_stopped(carry_b["stopped"], mesh):
             break
 
     wall = time.time() - t_start
