@@ -660,8 +660,19 @@ def _prepare_job_batch(
                 t_start=t_start, t_prep=time.time() - t_start)
 
 
+_LANE_KEYS_JIT = None
+
+
 def _lane_keys(setups: List):
-    return jnp.stack([jax.random.PRNGKey(s.experiment_seed) for s in setups])
+    """All lane PRNG keys in ONE device program (bit-identical to per-lane
+    jax.random.PRNGKey, tested): the per-lane eager stack issued 2 tiny
+    tunnel dispatches per lane on the main dispatch thread every batch."""
+    global _LANE_KEYS_JIT
+    if _LANE_KEYS_JIT is None:
+        _LANE_KEYS_JIT = jax.jit(jax.vmap(jax.random.PRNGKey))
+    # int64 -> int32 wrap matches what jnp.asarray did to each python seed
+    return _LANE_KEYS_JIT(np.asarray(
+        [s.experiment_seed for s in setups], np.int64).astype(np.int32))
 
 
 def _lane_coords(cfg: ExperimentConfig, setups: List) -> List:
@@ -867,7 +878,15 @@ def _execute_job_batch(
     # assembled into global arrays (parallel/multihost.py)
     from st_dadk_tpu.parallel.multihost import shard_lanes_multihost
     shard = lambda t: shard_lanes_multihost(t, mesh, cfg.mesh_axis)
-    data_b, carry_b, consts_b = shard(data_b), shard(carry_b), shard(consts_b)
+    if jax.process_count() == 1 and cfg.extra.get("packed_upload", False):
+        # opt-in, measured NEUTRAL (1.005 paired, results/
+        # ab_stream_packedupload_r5): unlike the finalize pulls, the
+        # per-leaf device_put uploads overlap the device queue well enough
+        # that packing them into one transfer saves nothing on this tunnel
+        data_b = _upload_lanes_packed(data_b, mesh, cfg.mesh_axis)
+    else:
+        data_b = shard(data_b)
+    carry_b, consts_b = shard(carry_b), shard(consts_b)
 
     fit_chunk = jitted_fit_chunk(spec, vmapped=True, lr_per_lane=True)
 
@@ -1331,6 +1350,85 @@ def _owned_lane_slice(state: Dict[str, Any]) -> slice:
     return slice(min(sl.start, M), min(sl.stop, M))
 
 
+_PACK_UPLOAD_JIT: Dict[Any, Any] = {}
+
+
+def _upload_lanes_packed(tree: Any, mesh: Mesh, axis: str) -> Any:
+    """Upload a host lane-major tree as ONE flat f32 transfer.
+
+    Mirror of _pull_lanes_packed for the host->device direction: the
+    stacked training data is ~10 leaves and the tunnel charges per-transfer
+    latency that serializes with the device queue. Leaves are concatenated
+    host-side into one (M, total) f32 buffer, placed once with the lane
+    sharding, and sliced back into the original leaves by a cached device
+    program (slicing along axis 1 never crosses the lane sharding).
+    Non-f32 leaves (the int32 per-lane batch counts) are exactly
+    representable and cast back on device."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    M = leaves[0].shape[0]
+    flat = np.concatenate(
+        [np.asarray(l).reshape(M, -1).astype(np.float32) for l in leaves],
+        axis=1)
+    flat_d = jax.device_put(flat, NamedSharding(mesh, P(axis)))
+
+    key = (tuple((tuple(l.shape), str(l.dtype)) for l in leaves), axis)
+    fn = _PACK_UPLOAD_JIT.get(key)
+    if fn is None:
+        shapes = [(tuple(l.shape), str(l.dtype)) for l in leaves]
+
+        def program(buf):
+            outs, off = [], 0
+            for shp, dt in shapes:
+                n = int(np.prod(shp[1:], dtype=np.int64)) if len(shp) > 1 \
+                    else 1
+                outs.append(buf[:, off:off + n].reshape(shp).astype(dt))
+                off += n
+            return outs
+        fn = jax.jit(program)
+        _PACK_UPLOAD_JIT[key] = fn
+    return jax.tree_util.tree_unflatten(treedef, fn(flat_d))
+
+
+_PACK_PULL_JIT: Dict[Any, Any] = {}
+
+
+def _pull_lanes_packed(arrs: List[Any], sl: Optional[slice] = None
+                       ) -> List[np.ndarray]:
+    """Fetch many lane-major device arrays as ONE flat f32 transfer.
+
+    The tunnel charges ~27 ms of latency per device fetch regardless of
+    size (bench.py golden probe), and transfers serialize with program
+    execution on the device queue, so finalize's per-array fetches were
+    direct steady-state wall (results/trace_steady_r5_fixed gap
+    attribution: the post-fit gap is wall-to-wall np.asarray round trips).
+    One concat program + one fetch replaces them. Inputs are cast to f32 on
+    device and back on the host — every packed leaf is f32 already or an
+    exactly-representable bool/epoch-count (same contract as
+    pull_serving_state's scalar block)."""
+    shapes = tuple((tuple(a.shape), str(a.dtype)) for a in arrs)
+    fn = _PACK_PULL_JIT.get(shapes)
+    if fn is None:
+        def program(*xs):
+            M = xs[0].shape[0]
+            return jnp.concatenate(
+                [x.reshape(M, -1).astype(jnp.float32) for x in xs], axis=1)
+        fn = jax.jit(program)
+        _PACK_PULL_JIT[shapes] = fn
+    flat = np.asarray(fn(*arrs))
+    if sl is not None:
+        flat = flat[sl]
+    outs, off = [], 0
+    for a in arrs:
+        n = int(np.prod(a.shape[1:], dtype=np.int64)) if a.ndim > 1 else 1
+        out = flat[:, off:off + n].reshape(
+            (flat.shape[0],) + tuple(a.shape[1:]))
+        if str(a.dtype) != "float32":
+            out = out.astype(np.dtype(str(a.dtype)))
+        outs.append(out)
+        off += n
+    return outs
+
+
 def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     """Pull results + batched eval + per-lane artifacts for a trained batch.
 
@@ -1374,9 +1472,39 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
         return buf
 
     hist_keys = [k for k in state["hists"][0] if k != "_lane_idx"]
-    history_b = {k: np.concatenate([_hist_block(h, k)
-                                    for h in state["hists"]], axis=1)
-                 for k in hist_keys}
+    hists = state["hists"]
+    deferred_consts = state.get("consts_host") is None
+    packable = (process_info()[0] == 1
+                and bool(cfg.extra.get("packed_finalize_pull", True))
+                and all(h.get("_lane_idx") is None for h in hists))
+    if packable:
+        # ONE fetch for histories + serving scalars + (deferred) consts —
+        # see _pull_lanes_packed. Compacted chunks (_lane_idx) and pods
+        # keep the per-array path below.
+        _, scal_d = select_serving_device(carry_b)
+        arrs = [h[k] for h in hists for k in hist_keys]
+        arrs.append(jnp.swapaxes(scal_d, 0, 1))
+        consts_leaves, consts_def = jax.tree_util.tree_flatten(consts_b)
+        if deferred_consts:
+            arrs.extend(consts_leaves)
+        pulled = iter(_pull_lanes_packed(arrs, sl))
+        history_b = {}
+        blocks = [[(k, next(pulled)) for k in hist_keys] for _ in hists]
+        for k in hist_keys:
+            history_b[k] = np.concatenate(
+                [dict(b)[k] for b in blocks], axis=1)
+        scal = next(pulled)
+        scal_host = {"best_val": scal[:, 0],
+                     "has_best": scal[:, 1].astype(bool),
+                     "stopped": scal[:, 2].astype(bool),
+                     "stop_epoch": scal[:, 3].astype(np.int32)}
+        if deferred_consts:
+            state["consts_host"] = jax.tree_util.tree_unflatten(
+                consts_def, [next(pulled) for _ in consts_leaves])
+    else:
+        history_b = {k: np.concatenate([_hist_block(h, k)
+                                        for h in hists], axis=1)
+                     for k in hist_keys}
     needs_field = any(
         getattr(s, "cfg", cfg).save_artifacts
         or getattr(s, "cfg", cfg).save_plots
@@ -1387,7 +1515,9 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     # per-batch param transfer is pure tunnel overhead (~0.3 s per 16-lane
     # batch) — pull only the scalar block. Post-stop history rows are NaN by
     # design, so the poison check looks only at each lane's executed epochs.
-    _, scal_host = pull_serving_state(carry_b, lanes=sl, with_params=False)
+    if not packable:
+        _, scal_host = pull_serving_state(carry_b, lanes=sl,
+                                          with_params=False)
 
     def _any_poisoned() -> bool:
         tl = history_b["train_loss"]
@@ -1402,11 +1532,14 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
                    or cfg.k_spatial_pad is not None or _any_poisoned())
     serve_host = (pull_tree(select_serving_device(carry_b)[0], sl)
                   if pull_params else None)
-    if state.get("consts_host") is None:
+    if deferred_consts:
         # deferred from _execute_job_batch: the pull now rides the finalize
         # thread (overlapped with the next batch's training) instead of
-        # blocking the main thread between the init and fit dispatches
-        state["consts_host"] = jax.tree_util.tree_map(np.asarray, consts_b)
+        # blocking the main thread between the init and fit dispatches.
+        # (The packed path above already fetched it in the single transfer.)
+        if state.get("consts_host") is None:
+            state["consts_host"] = jax.tree_util.tree_map(
+                np.asarray, consts_b)
         for i, s in enumerate(state["setups"]):
             s.consts = jax.tree_util.tree_map(
                 lambda x, i=i: x[i], state["consts_host"])
