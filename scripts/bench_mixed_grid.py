@@ -117,7 +117,7 @@ def main() -> int:
         per_cfg = {}
         for cfg_dir in sorted(p for p in out.iterdir() if p.is_dir()):
             rows = []
-            for rj in sorted(cfg_dir.glob("*/results.json")):
+            for rj in sorted(cfg_dir.glob("experiments/*/results.json")):
                 with open(rj) as f:
                     r = json.load(f)
                 rows.append((r.get("n_epochs_run"), r.get("test_crps")))
