@@ -1480,20 +1480,23 @@ def _finalize_job_batch(state: Dict[str, Any]) -> List[Dict[str, Any]]:
     if packable:
         # ONE fetch for histories + serving scalars + (deferred) consts —
         # see _pull_lanes_packed. Compacted chunks (_lane_idx) and pods
-        # keep the per-array path below.
+        # keep the per-array path below. All rows are fetched and sliced
+        # per consumer on the host: histories/scalars take the owned-lane
+        # block, consts keep every lane (the deferred-consts loop assigns
+        # ALL setups, same as the unpacked path).
         _, scal_d = select_serving_device(carry_b)
         arrs = [h[k] for h in hists for k in hist_keys]
         arrs.append(jnp.swapaxes(scal_d, 0, 1))
         consts_leaves, consts_def = jax.tree_util.tree_flatten(consts_b)
         if deferred_consts:
             arrs.extend(consts_leaves)
-        pulled = iter(_pull_lanes_packed(arrs, sl))
+        pulled = iter(_pull_lanes_packed(arrs))
         history_b = {}
-        blocks = [[(k, next(pulled)) for k in hist_keys] for _ in hists]
+        blocks = [[(k, next(pulled)[sl]) for k in hist_keys] for _ in hists]
         for k in hist_keys:
             history_b[k] = np.concatenate(
                 [dict(b)[k] for b in blocks], axis=1)
-        scal = next(pulled)
+        scal = next(pulled)[sl]
         scal_host = {"best_val": scal[:, 0],
                      "has_best": scal[:, 1].astype(bool),
                      "stopped": scal[:, 2].astype(bool),
