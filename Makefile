@@ -4,12 +4,14 @@
 PYTHON ?= python
 CPU_ENV = JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu
 
-.PHONY: help install test test-fast test-cov test-tpu lint train grid-search \
+.PHONY: help install test test-fast test-slow test-cov test-tpu lint train grid-search \
         table44 analyze bench dryrun native clean
 
 help:
 	@echo "make install      - editable install"
 	@echo "make test         - run the test suite on a virtual 8-device CPU mesh"
+	@echo "make test-fast    - inner loop: the suite minus slow-marked tests"
+	@echo "make test-slow    - the slow-marked integration lane (separate process)"
 	@echo "make test-cov     - tests with coverage"
 	@echo "make test-tpu     - run the suite on the real TPU backend"
 	@echo "make train        - multi-experiment training run (default config)"
@@ -30,6 +32,15 @@ test:
 # tests/conftest.py); ~3 minutes on one CPU core vs ~17 for the full suite
 test-fast:
 	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
+
+# the slow-marked integration lane. Run the two lanes as separate processes
+# on small hosts: a single process that compiles the ENTIRE suite (~400
+# XLA-CPU programs) can hit an upstream LLVM-JIT segfault near the end of
+# the alphabet (reproduced on the round-5 box at test_train_loop with code
+# from before AND after the round's changes — environmental, not a test
+# failure; both lanes pass in separate processes).
+test-slow:
+	$(PYTHON) -m pytest tests/ -x -q -m "slow"
 
 test-cov:
 	$(PYTHON) -m pytest tests/ --cov=st_dadk_tpu --cov-report=term-missing
