@@ -473,11 +473,16 @@ def run_job_batches(
       - batch k+1's host preparation (seed-exact masks, stacking, LR tables)
         runs on a prepare thread (the device would otherwise idle through
         those ~0.4 s of host work), and
-      - batch k-1's finalize (result pulls + eval dispatch + artifacts) runs
-        on a finalize thread.
-    The device queue serializes the actual compute; global-numpy-RNG sections
-    are mutually excluded via utils.seed.GLOBAL_NP_RNG_LOCK, which preserves
-    the engines' bit-exact mask/init streams.
+      - earlier batches' finalizes (packed result pull + eval dispatch +
+        artifacts) run on a finalize thread, drained NON-blockingly by the
+        dispatch loop (bounded at two in flight) so finalize latency never
+        gates the next batch's init dispatch.
+    The device queue serializes the actual compute — trace-measured at
+    100% occupancy in the steady state (results/trace_steady_r5_final).
+    Global-numpy-RNG sections are mutually excluded via
+    utils.seed.GLOBAL_NP_RNG_LOCK, which preserves the engines' bit-exact
+    mask/init streams (the GMM replay itself is lock-free on a private
+    RandomState, ops/init_centers.py).
 
     Multi-process (pod) runs fall back to the serial prepare/train/finalize
     loop: every process must dispatch the SAME SPMD programs in the SAME
